@@ -1,0 +1,113 @@
+"""Typed configuration for the framework.
+
+The reference keeps one module-level python dict per model file
+(reference lanegcn.py:28-92, lanercnn.py:30-82). Here the same knob set is
+expressed as frozen dataclasses so configs are hashable (usable as jit static
+args) and self-documenting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """LaneGCN model hyper-parameters (reference lanegcn.py:74-91)."""
+
+    n_actor: int = 128
+    n_map: int = 128
+    num_scales: int = 6  # pre/suc dilations 1,2,4,8,16,32
+    num_mods: int = 6
+    num_preds: int = 30  # 30 future steps @ 10 Hz
+    num_hist: int = 20   # 20 observed steps
+    actor2map_dist: float = 7.0
+    map2actor_dist: float = 6.0
+    actor2actor_dist: float = 100.0
+    num_fuse_layers: int = 4   # residual LaneConv blocks in MapNet / M2M
+    num_att_layers: int = 2    # Att repetitions per fusion stage
+    pred_range: Tuple[float, float, float, float] = (-100.0, 100.0, -100.0, 100.0)
+
+    @property
+    def num_relations(self) -> int:
+        """pre0..pre{S-1}, suc0..suc{S-1}, left, right."""
+        return 2 * self.num_scales + 2
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Joint classification + regression loss (reference lanegcn.py:87-91)."""
+
+    cls_coef: float = 1.0
+    reg_coef: float = 1.0
+    mgn: float = 0.2
+    cls_th: float = 2.0
+    cls_ignore: float = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class PackConfig:
+    """Static capacities for one packed batch (one device's micro-batch).
+
+    The reference batches by python lists of variable-size tensors
+    (reference data.py:555-561); XLA needs static shapes, so scenarios are
+    packed into fixed-capacity buffers with validity masks. Capacities are a
+    compilation key — keep the set of distinct PackConfigs small (bucketing).
+    """
+
+    max_scenarios: int = 32     # scenarios per pack (= per-device batch)
+    max_actors: int = 512       # total actors across the pack
+    max_nodes: int = 8192       # total lane nodes across the pack
+    max_edges_scale0: int = 8192   # per-relation capacity for pre0/suc0
+    max_edges_dilated: int = 8192  # per-relation capacity for pre_i/suc_i, i>=1
+    max_edges_lr: int = 4096       # capacity for left/right
+    max_a2m_edges: int = 16384
+    max_m2a_edges: int = 16384
+    max_a2a_edges: int = 8192
+
+    def edge_capacity(self, relation: str) -> int:
+        if relation in ("left", "right"):
+            return self.max_edges_lr
+        if relation.startswith(("pre", "suc")):
+            scale = int(relation[3:])
+            return self.max_edges_scale0 if scale == 0 else self.max_edges_dilated
+        raise ValueError(f"unknown relation {relation!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training recipe (reference lanegcn.py:29-53, utils.py:98-177)."""
+
+    opt: str = "adam"
+    lr: Tuple[float, ...] = (1e-3, 1e-4)
+    lr_epochs: Tuple[float, ...] = (32.0,)
+    num_epochs: int = 36
+    batch_size: int = 32          # scenarios per process
+    weight_decay: float = 0.0
+    clip_grads: bool = False
+    clip_low: float = -1.0
+    clip_high: float = 1.0
+    save_freq: float = 1.0
+    display_iters: int = 205942
+    val_iters: int = 411884
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    loss: LossConfig = LossConfig()
+    pack: PackConfig = PackConfig()
+    train: TrainConfig = TrainConfig()
+
+
+def relation_names(num_scales: int = 6) -> Tuple[str, ...]:
+    """Edge-relation ordering used throughout: pre0..preS, suc0..sucS, left, right."""
+    names = []
+    for i in range(num_scales):
+        names.append(f"pre{i}")
+    for i in range(num_scales):
+        names.append(f"suc{i}")
+    names.extend(["left", "right"])
+    return tuple(names)

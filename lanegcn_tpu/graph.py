@@ -1,0 +1,118 @@
+"""Static-shape batch pytrees: the framework's core data layout.
+
+The reference batches scenarios as python lists of variable-size tensors and
+merges them on-GPU per forward pass (reference lanegcn.py:155-209,
+data.py:555-561). That defeats XLA. Here a batch is *packed* on host into
+fixed-capacity, mask-carrying arrays:
+
+- all actors of all scenarios concatenated into one [A, ...] buffer,
+- all lane nodes into one [N, ...] buffer,
+- every edge relation (pre/suc at 6 dilations, left, right — reference
+  data.py:272-361) into its own fixed-capacity [E] (u, v, mask) triple with
+  pack-global node indices baked in,
+- the distance-gated fusion edges (a2m/m2a/a2a, reference lanegcn.py:672-689)
+  precomputed on host into the same format (centers are data-time constants,
+  so thresholding on host is exact, not an approximation).
+
+Every array's capacity comes from config.PackConfig, so one jit compilation
+serves every batch of a bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class EdgeSet:
+    """Fixed-capacity directed edge list: messages flow v (source) → u (dest)."""
+
+    u: jax.Array  # [E] int32, destination row index
+    v: jax.Array  # [E] int32, source row index
+    mask: jax.Array  # [E] bool, False on padding
+
+    @property
+    def capacity(self) -> int:
+        return self.u.shape[0]
+
+    def num_valid(self) -> jax.Array:
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+
+@struct.dataclass
+class ActorBatch:
+    """All actors of a pack, concatenated (reference actor_gather lanegcn.py:155)."""
+
+    feats: jax.Array  # [A, T_hist, 3] (dx, dy, valid) agent-frame motion deltas
+    ctrs: jax.Array  # [A, 2] last observed position (agent frame)
+    mask: jax.Array  # [A] bool, False on padding
+    scen: jax.Array  # [A] int32, scenario id within the pack
+
+    @property
+    def capacity(self) -> int:
+        return self.feats.shape[0]
+
+
+@struct.dataclass
+class LaneGraphBatch:
+    """All lane nodes + relation edges of a pack (reference graph_gather lanegcn.py:171)."""
+
+    ctrs: jax.Array  # [N, 2] segment midpoints
+    feats: jax.Array  # [N, 2] segment direction vectors
+    turn: jax.Array  # [N, 2] one-hot (left, right)
+    control: jax.Array  # [N] traffic-control flag
+    intersect: jax.Array  # [N] intersection flag
+    node_mask: jax.Array  # [N] bool
+    node_scen: jax.Array  # [N] int32
+    edges: Dict[str, EdgeSet]  # relation name (config.relation_names) → edges
+
+    @property
+    def capacity(self) -> int:
+        return self.ctrs.shape[0]
+
+
+@struct.dataclass
+class FusionEdges:
+    """Distance-thresholded bipartite edges for the fusion cycle.
+
+    a2m: u indexes lane nodes, v indexes actors (dist ≤ actor2map_dist).
+    m2a: u indexes actors, v indexes lane nodes (dist ≤ map2actor_dist).
+    a2a: u, v index actors (dist ≤ actor2actor_dist; self-edges included,
+         matching the reference's `dist <= th` including the diagonal).
+    Edges never cross scenarios.
+    """
+
+    a2m: EdgeSet
+    m2a: EdgeSet
+    a2a: EdgeSet
+
+
+@struct.dataclass
+class PackedBatch:
+    """One device's micro-batch: the unit the model consumes."""
+
+    actors: ActorBatch
+    graph: LaneGraphBatch
+    fusion: FusionEdges
+    gt_preds: jax.Array  # [A, T_pred, 2] world-frame ground-truth futures
+    has_preds: jax.Array  # [A, T_pred] bool
+    rot: jax.Array  # [B, 2, 2] agent→world rotation per scenario
+    orig: jax.Array  # [B, 2] world-frame origin per scenario
+    scen_mask: jax.Array  # [B] bool, False on padding scenarios
+    agent_idx: jax.Array  # [B] int32 packed row of each scenario's AGENT actor
+
+    @property
+    def num_scenarios(self) -> int:
+        return self.rot.shape[0]
+
+
+def empty_edge_set(capacity: int) -> EdgeSet:
+    return EdgeSet(
+        u=jnp.zeros((capacity,), jnp.int32),
+        v=jnp.zeros((capacity,), jnp.int32),
+        mask=jnp.zeros((capacity,), bool),
+    )

@@ -1,0 +1,158 @@
+"""The actor-map fusion cycle: Att, A2M, M2M, M2A, A2A.
+
+(reference lanegcn.py:366-545, 634-710)
+
+`Att` is the shared sparse distance-gated attention kernel: for every fusion
+edge (u ← v) within a distance threshold, an edge MLP consumes the relative
+offset, a query projection of the destination, and the source feature; edge
+outputs scatter-add into the destination, followed by GN → ReLU → Linear →
+residual → ReLU.
+
+TPU-first differences from the reference:
+- fusion edges are precomputed on host into static-capacity EdgeSets
+  (centers are data-time constants, so the thresholding is exact — reference
+  builds them on-GPU per forward, lanegcn.py:672-689);
+- the query projection runs densely per destination row and is gathered
+  (row-wise ops commute with gather);
+- padding edges are dropped by the deterministic scatter, so the edge MLP's
+  bias terms never leak into real rows.
+
+Behavioral note: the reference has a separate code path when the context set
+is empty (lanegcn.py:664-670) that skips the GroupNorm; with packed batches a
+context is never empty in practice (a pack with zero lane nodes is not a
+meaningful input), so only the main path is implemented.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lanegcn_tpu.config import ModelConfig
+from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch
+from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear
+from lanegcn_tpu.models.map_net import LaneConvStack
+from lanegcn_tpu.ops import masked_gather, scatter_add
+
+
+class Att(nn.Module):
+    """Distance-gated sparse attention (reference lanegcn.py:634-710)."""
+
+    n_agt: int
+    n_ctx: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        agts: jax.Array,  # [A, n_agt] destination features
+        agt_ctrs: jax.Array,  # [A, 2]
+        ctx: jax.Array,  # [C, n_ctx] source features
+        ctx_ctrs: jax.Array,  # [C, 2]
+        edges: EdgeSet,  # u → agts rows, v → ctx rows
+    ) -> jax.Array:
+        res = agts
+
+        # Per-edge relative offset → dist embedding.
+        d = masked_gather(agt_ctrs, edges.u, edges.mask) - masked_gather(
+            ctx_ctrs, edges.v, edges.mask
+        )
+        dist = Dense(self.n_ctx, dtype=self.dtype, name="dist_dense")(d)
+        dist = Linear(self.n_ctx, dtype=self.dtype, name="dist_out")(nn.relu(dist))
+
+        # Dense per-row query, gathered onto edges.
+        query_all = Linear(self.n_ctx, dtype=self.dtype, name="query")(agts)
+        query = masked_gather(query_all, edges.u, edges.mask)
+
+        ctx_v = masked_gather(ctx, edges.v, edges.mask)
+        edge_in = jnp.concatenate([dist, query, ctx_v], axis=-1)
+        edge_out = Linear(self.n_agt, dtype=self.dtype, name="ctx_hidden")(edge_in)
+        edge_out = Dense(self.n_agt, use_bias=False, dtype=self.dtype, name="ctx_out")(edge_out)
+
+        agts = Dense(self.n_agt, use_bias=False, dtype=self.dtype, name="agt")(agts)
+        agts = scatter_add(edge_out, edges.u, agts.shape[0], mask=edges.mask, out=agts)
+        agts = nn.relu(GroupNorm(name="norm")(agts))
+        agts = Linear(self.n_agt, act=False, dtype=self.dtype, name="linear")(agts)
+        return nn.relu(agts + res)
+
+
+class A2M(nn.Module):
+    """Actor → lane-node fusion (reference lanegcn.py:366-407)."""
+
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        nodes: jax.Array,
+        graph: LaneGraphBatch,
+        actors: jax.Array,
+        actor_ctrs: jax.Array,
+        a2m_edges: EdgeSet,
+    ) -> jax.Array:
+        meta = jnp.concatenate(
+            [graph.turn, graph.control[:, None], graph.intersect[:, None]], axis=-1
+        )
+        nodes = Linear(self.cfg.n_map, dtype=self.dtype, name="meta")(
+            jnp.concatenate([nodes, meta.astype(nodes.dtype)], axis=-1)
+        )
+        for i in range(self.cfg.num_att_layers):
+            nodes = Att(self.cfg.n_map, self.cfg.n_actor, dtype=self.dtype, name=f"att{i}")(
+                nodes, graph.ctrs, actors, actor_ctrs, a2m_edges
+            )
+        return nodes
+
+
+class M2M(nn.Module):
+    """Lane → lane propagation: LaneConv stack without input embedding
+    (reference lanegcn.py:410-480)."""
+
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, nodes: jax.Array, graph: LaneGraphBatch) -> jax.Array:
+        return LaneConvStack(
+            self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="fuse"
+        )(nodes, graph)
+
+
+class M2A(nn.Module):
+    """Lane-node → actor fusion (reference lanegcn.py:483-513)."""
+
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        actors: jax.Array,
+        actor_ctrs: jax.Array,
+        nodes: jax.Array,
+        node_ctrs: jax.Array,
+        m2a_edges: EdgeSet,
+    ) -> jax.Array:
+        for i in range(self.cfg.num_att_layers):
+            actors = Att(self.cfg.n_actor, self.cfg.n_map, dtype=self.dtype, name=f"att{i}")(
+                actors, actor_ctrs, nodes, node_ctrs, m2a_edges
+            )
+        return actors
+
+
+class A2A(nn.Module):
+    """Actor ↔ actor interaction (reference lanegcn.py:516-545)."""
+
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, actors: jax.Array, actor_ctrs: jax.Array, a2a_edges: EdgeSet) -> jax.Array:
+        for i in range(self.cfg.num_att_layers):
+            actors = Att(self.cfg.n_actor, self.cfg.n_actor, dtype=self.dtype, name=f"att{i}")(
+                actors, actor_ctrs, actors, actor_ctrs, a2a_edges
+            )
+        return actors

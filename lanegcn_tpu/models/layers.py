@@ -1,0 +1,174 @@
+"""Primitive NN blocks with torch-parity semantics (reference layers.py).
+
+Conventions carried over from the reference so that checkpoints / training
+recipes transfer:
+- matmul/conv layers feeding a norm are bias-free (reference layers.py:45,70),
+- every block normalizes with GroupNorm(gcd(ng, C), C), ng=1 in practice,
+- residual blocks place ReLU after the residual add (layers.py:177-190,225-238),
+- initializers follow torch defaults: U(±1/sqrt(fan_in)) for dense/conv
+  weights and biases, ones/zeros for norm affine.
+
+Layout is channels-last ([N, C] / [N, L, C]) — TPU-native — while the math
+matches torch's channels-first modules exactly (verified in
+tests/test_torch_parity.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lanegcn_tpu.ops import conv1d, group_norm
+
+
+def torch_uniform_init(fan_in: int):
+    """torch's default kaiming_uniform(a=sqrt(5)) reduces to U(±1/sqrt(fan_in))."""
+
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Dense(nn.Module):
+    """Bare matmul layer (torch nn.Linear), channels-last."""
+
+    n_out: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n_in = x.shape[-1]
+        kernel = self.param("kernel", torch_uniform_init(n_in), (n_in, self.n_out))
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", torch_uniform_init(n_in), (self.n_out,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm(gcd(ng, C), C) with per-channel affine (reference layers.py:23)."""
+
+    ng: int = 1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        groups = math.gcd(self.ng, c)
+        weight = self.param("weight", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        # Normalization statistics in fp32 for bf16 activations.
+        y = group_norm(x.astype(jnp.float32), weight, bias, groups, self.eps)
+        return y.astype(x.dtype)
+
+
+class Linear(nn.Module):
+    """Linear(bias=False) + GN + optional ReLU (reference layers.py:65-87)."""
+
+    n_out: int
+    ng: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = Dense(self.n_out, use_bias=False, dtype=self.dtype, name="linear")(x)
+        y = GroupNorm(self.ng, name="norm")(y)
+        if self.act:
+            y = nn.relu(y)
+        return y
+
+
+class LinearRes(nn.Module):
+    """Linear residual block (reference layers.py:193-238)."""
+
+    n_out: int
+    ng: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n_in = x.shape[-1]
+        y = Dense(self.n_out, use_bias=False, dtype=self.dtype, name="linear1")(x)
+        y = GroupNorm(self.ng, name="norm1")(y)
+        y = nn.relu(y)
+        y = Dense(self.n_out, use_bias=False, dtype=self.dtype, name="linear2")(y)
+        y = GroupNorm(self.ng, name="norm2")(y)
+        if n_in != self.n_out:
+            x = Dense(self.n_out, use_bias=False, dtype=self.dtype, name="transform_linear")(x)
+            x = GroupNorm(self.ng, name="transform_norm")(x)
+        return nn.relu(y + x)
+
+
+class Conv1dBlock(nn.Module):
+    """Conv1d(bias=False) + GN + optional ReLU (reference layers.py:40-62)."""
+
+    n_out: int
+    kernel_size: int = 3
+    stride: int = 1
+    ng: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n_in = x.shape[-1]
+        w = self.param(
+            "kernel",
+            torch_uniform_init(n_in * self.kernel_size),
+            (self.kernel_size, n_in, self.n_out),
+        )
+        y = conv1d(x.astype(self.dtype), w.astype(self.dtype), self.stride)
+        y = GroupNorm(self.ng, name="norm")(y)
+        if self.act:
+            y = nn.relu(y)
+        return y
+
+
+class Res1d(nn.Module):
+    """1-D conv residual block (reference layers.py:142-190)."""
+
+    n_out: int
+    kernel_size: int = 3
+    stride: int = 1
+    ng: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n_in = x.shape[-1]
+        w1 = self.param(
+            "conv1_kernel",
+            torch_uniform_init(n_in * self.kernel_size),
+            (self.kernel_size, n_in, self.n_out),
+        )
+        w2 = self.param(
+            "conv2_kernel",
+            torch_uniform_init(self.n_out * self.kernel_size),
+            (self.kernel_size, self.n_out, self.n_out),
+        )
+        y = conv1d(x.astype(self.dtype), w1.astype(self.dtype), self.stride)
+        y = GroupNorm(self.ng, name="bn1")(y)
+        y = nn.relu(y)
+        y = conv1d(y, w2.astype(self.dtype), 1)
+        y = GroupNorm(self.ng, name="bn2")(y)
+
+        if self.stride != 1 or self.n_out != n_in:
+            wd = self.param("downsample_kernel", torch_uniform_init(n_in), (1, n_in, self.n_out))
+            x = conv1d(x.astype(self.dtype), wd.astype(self.dtype), self.stride)
+            x = GroupNorm(self.ng, name="downsample_norm")(x)
+
+        y = y + x
+        if self.act:
+            y = nn.relu(y)
+        return y

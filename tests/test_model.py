@@ -1,0 +1,106 @@
+"""LaneGCN forward/loss smoke + invariance tests on synthetic packed batches."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lanegcn_tpu.config import Config, ModelConfig, PackConfig
+from lanegcn_tpu.data import make_synthetic_scenario, pack_batch
+from lanegcn_tpu.models.lanegcn import LaneGCN, agent_metrics, pred_loss
+
+
+SMALL_PACK = PackConfig(
+    max_scenarios=2,
+    max_actors=48,
+    max_nodes=1024,
+    max_edges_scale0=1536,
+    max_edges_dilated=2048,
+    max_edges_lr=512,
+    max_a2m_edges=2048,
+    max_m2a_edges=2048,
+    max_a2a_edges=1024,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(pack=SMALL_PACK)
+
+
+@pytest.fixture(scope="module")
+def batch(cfg):
+    scens = [make_synthetic_scenario(seed=i, num_corridors=2, num_actors=8) for i in range(2)]
+    b, stats = pack_batch(scens, cfg.pack, cfg.model)
+    assert stats["packed_scenarios"] == 2
+    assert stats["skipped_scenarios"] == 0
+    return jax.tree.map(jnp.asarray, b)
+
+
+@pytest.fixture(scope="module")
+def params_and_out(cfg, batch):
+    net = LaneGCN(cfg.model)
+    params = net.init(jax.random.PRNGKey(0), batch)["params"]
+    out = jax.jit(lambda p, b: net.apply({"params": p}, b))(params, batch)
+    return net, params, out
+
+
+def test_forward_shapes(cfg, batch, params_and_out):
+    _, _, out = params_and_out
+    a = cfg.pack.max_actors
+    assert out["cls"].shape == (a, cfg.model.num_mods)
+    assert out["reg"].shape == (a, cfg.model.num_mods, cfg.model.num_preds, 2)
+    assert np.isfinite(np.asarray(out["cls"])).all()
+    assert np.isfinite(np.asarray(out["reg"])).all()
+
+
+def test_cls_sorted_descending(params_and_out):
+    _, _, out = params_and_out
+    cls = np.asarray(out["cls"])
+    assert (np.diff(cls, axis=1) <= 1e-6).all(), "modes must be confidence-descending"
+
+
+def test_loss_finite_and_positive(cfg, batch, params_and_out):
+    _, _, out = params_and_out
+    losses = pred_loss(out, batch, cfg.loss)
+    assert np.isfinite(float(losses["loss"]))
+    assert float(losses["num_reg"]) > 0
+    assert float(losses["loss"]) > 0
+
+
+def test_metrics_reasonable(cfg, batch, params_and_out):
+    _, _, out = params_and_out
+    m = agent_metrics(out, batch)
+    assert float(m["num_scen"]) == 2
+    assert float(m["ade_sum"]) >= 0
+    assert float(m["fde_sum"]) >= float(m["ade_sum"]) * 0  # finite
+
+
+def test_padding_invariance(cfg, batch, params_and_out):
+    """Growing actor capacity (more padding rows) must not change real outputs."""
+    net, params, out = params_and_out
+    bigger = PackConfig(**{**SMALL_PACK.__dict__, "max_actors": 64})
+    scens = [make_synthetic_scenario(seed=i, num_corridors=2, num_actors=8) for i in range(2)]
+    b2, _ = pack_batch(scens, bigger, cfg.model)
+    b2 = jax.tree.map(jnp.asarray, b2)
+    out2 = net.apply({"params": params}, b2)
+    na = int(np.asarray(batch.actors.mask).sum())
+    np.testing.assert_allclose(
+        np.asarray(out["reg"])[:na], np.asarray(out2["reg"])[:na], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_gradients_flow(cfg, batch, params_and_out):
+    net, params, _ = params_and_out
+
+    def loss_fn(p):
+        out = net.apply({"params": p}, batch)
+        return pred_loss(out, batch, cfg.loss)["loss"]
+
+    grads = jax.grad(loss_fn)(params)
+    norms = jax.tree.map(lambda g: float(jnp.sum(jnp.abs(g))), grads)
+    leaves = jax.tree.leaves(norms)
+    assert all(np.isfinite(l) for l in leaves)
+    # The overwhelming majority of parameters must receive gradient.
+    nonzero = sum(1 for l in leaves if l > 0)
+    assert nonzero / len(leaves) > 0.9, f"only {nonzero}/{len(leaves)} grads nonzero"

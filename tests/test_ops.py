@@ -1,0 +1,105 @@
+"""Unit tests for primitive ops: scatter/gather vs dense reference, and
+torch-parity of group_norm / conv1d / interpolate (torch CPU is available)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from lanegcn_tpu.ops import conv1d, group_norm, interpolate_linear, masked_gather, scatter_add
+
+
+def test_scatter_add_matches_dense():
+    rng = np.random.default_rng(0)
+    n, e, c = 50, 200, 16
+    data = rng.normal(size=(e, c)).astype(np.float32)
+    idx = rng.integers(0, n, size=e).astype(np.int32)
+    mask = rng.random(e) < 0.7
+
+    out = scatter_add(jnp.array(data), jnp.array(idx), n, mask=jnp.array(mask))
+    expect = np.zeros((n, c), np.float32)
+    for i in range(e):
+        if mask[i]:
+            expect[idx[i]] += data[i]
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_scatter_add_accumulates_into_out():
+    base = jnp.ones((4, 3))
+    data = jnp.full((2, 3), 2.0)
+    idx = jnp.array([1, 1], jnp.int32)
+    out = scatter_add(data, idx, 4, out=base)
+    np.testing.assert_allclose(np.asarray(out)[1], [5.0, 5.0, 5.0])
+    np.testing.assert_allclose(np.asarray(out)[0], [1.0, 1.0, 1.0])
+
+
+def test_masked_gather_zeros_invalid_rows():
+    x = jnp.arange(12.0).reshape(4, 3)
+    idx = jnp.array([2, 0, 99], jnp.int32)  # 99 out of range → clamped but masked
+    mask = jnp.array([True, True, False])
+    out = masked_gather(x, idx, mask)
+    np.testing.assert_allclose(np.asarray(out)[0], np.asarray(x)[2])
+    np.testing.assert_allclose(np.asarray(out)[2], 0.0)
+
+
+@pytest.mark.parametrize("shape", [(7, 128), (5, 20, 32)])
+@pytest.mark.parametrize("groups", [1, 4])
+def test_group_norm_torch_parity(shape, groups):
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=shape).astype(np.float32) * 3 + 1
+    c = shape[-1]
+    w = rng.normal(size=c).astype(np.float32)
+    b = rng.normal(size=c).astype(np.float32)
+
+    ours = group_norm(jnp.array(x), jnp.array(w), jnp.array(b), groups)
+
+    # torch GroupNorm wants channels-first.
+    xt = torch.from_numpy(x)
+    if x.ndim == 3:
+        xt = xt.transpose(1, 2)
+    gn = torch.nn.GroupNorm(groups, c)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(w))
+        gn.bias.copy_(torch.from_numpy(b))
+    ref = gn(xt).detach()
+    if x.ndim == 3:
+        ref = ref.transpose(1, 2)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("stride,k", [(1, 3), (2, 3), (1, 1), (2, 1)])
+def test_conv1d_torch_parity(stride, k):
+    rng = np.random.default_rng(2)
+    n, l, cin, cout = 4, 20, 8, 16
+    x = rng.normal(size=(n, l, cin)).astype(np.float32)
+    w = rng.normal(size=(k, cin, cout)).astype(np.float32)
+
+    ours = conv1d(jnp.array(x), jnp.array(w), stride)
+
+    xt = torch.from_numpy(x).transpose(1, 2)  # [N, C, L]
+    wt = torch.from_numpy(w).permute(2, 1, 0)  # [Cout, Cin, K]
+    ref = F.conv1d(xt, wt, stride=stride, padding=(k - 1) // 2).transpose(1, 2)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("l_in,l_out", [(5, 10), (10, 20), (7, 14)])
+def test_interpolate_linear_torch_parity(l_in, l_out):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(3, l_in, 6)).astype(np.float32)
+    ours = interpolate_linear(jnp.array(x), l_out)
+    xt = torch.from_numpy(x).transpose(1, 2)
+    ref = F.interpolate(xt, scale_factor=l_out / l_in, mode="linear", align_corners=False)
+    ref = ref.transpose(1, 2)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_scatter_add_deterministic():
+    # Duplicate destinations must accumulate deterministically.
+    data = jnp.ones((1000, 4))
+    idx = jnp.zeros(1000, jnp.int32)
+    out1 = scatter_add(data, idx, 8)
+    out2 = scatter_add(data, idx, 8)
+    assert np.array_equal(np.asarray(out1), np.asarray(out2))
+    np.testing.assert_allclose(np.asarray(out1)[0], 1000.0)
