@@ -1,0 +1,136 @@
+"""Benchmark: LaneGCN training throughput on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference trains 205,942 scenarios/epoch in ~870 s on 4× RTX
+5000 ≈ 235 scen/s aggregate ≈ 58.8 scen/s per GPU (BASELINE.md). value =
+scenarios/s through the full jitted train step (fwd+bwd+Adam) on one chip;
+vs_baseline = value / 58.8.
+
+Run alone — the axon TPU tunnel admits one process at a time.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lanegcn_tpu.config import Config, PackConfig, TrainConfig, relation_names
+from lanegcn_tpu.data import make_synthetic_scenario, pack_batch
+from lanegcn_tpu.models.lanegcn import LaneGCN
+from lanegcn_tpu.train.loop import make_train_step
+from lanegcn_tpu.train.optimizer import make_optimizer
+
+BASELINE_SCEN_PER_S_PER_CHIP = 235.0 / 4.0  # reference: 4× RTX 5000 aggregate
+
+
+def bench_pack_config() -> PackConfig:
+    # 32 scenarios/pack at realistic sizes (~650 lane nodes, ~12 actors each).
+    return PackConfig(
+        max_scenarios=32,
+        max_actors=512,
+        max_nodes=24576,
+        max_edges_scale0=26624,
+        max_edges_dilated=32768,
+        max_edges_lr=8192,
+        max_a2m_edges=32768,
+        max_m2a_edges=32768,
+        max_a2a_edges=12288,
+    )
+
+
+def make_batches(config: Config, num_batches: int, scen_per_batch: int):
+    batches = []
+    all_stats = []
+    seed = 0
+    for b in range(num_batches):
+        scens = [
+            make_synthetic_scenario(seed=seed + i, num_corridors=3, num_actors=12)
+            for i in range(scen_per_batch)
+        ]
+        seed += scen_per_batch
+        batch, stats = pack_batch(scens, config.pack, config.model)
+        batches.append(jax.tree.map(jnp.asarray, batch))
+        all_stats.append(stats)
+    return batches, all_stats
+
+
+def count_edges(batch) -> int:
+    """Total valid message-passing edges per step (LaneConv + fusion)."""
+    n = 0
+    for e in batch.graph.edges.values():
+        n += int(jnp.sum(e.mask))
+    for e in (batch.fusion.a2m, batch.fusion.m2a, batch.fusion.a2a):
+        n += int(jnp.sum(e.mask))
+    return n
+
+
+def main():
+    config = Config(pack=bench_pack_config())
+    num_batches = 4
+    scen_per_batch = config.pack.max_scenarios
+
+    t0 = time.time()
+    batches, stats = make_batches(config, num_batches, scen_per_batch)
+    drops = {
+        k: sum(s.get(k, 0) for s in stats)
+        for k in stats[0]
+        if k.startswith("dropped") and sum(s.get(k, 0) for s in stats)
+    }
+    packed = sum(s["packed_scenarios"] for s in stats)
+    print(
+        f"# packed {packed} scenarios into {num_batches} packs "
+        f"({time.time() - t0:.1f}s host); drops={drops}",
+        file=sys.stderr,
+    )
+
+    net = LaneGCN(config.model)
+    params = net.init(jax.random.PRNGKey(0), batches[0])["params"]
+    tx, lr_fn = make_optimizer(config.train)
+    opt_state = tx.init(params)
+    train_step = make_train_step(config, net, tx, lr_fn)
+
+    # Warmup / compile.
+    t0 = time.time()
+    params, opt_state, m = train_step(params, opt_state, batches[0], 0.0)
+    jax.block_until_ready(m["loss"])
+    print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    iters = 20
+    t0 = time.time()
+    for i in range(iters):
+        params, opt_state, m = train_step(
+            params, opt_state, batches[i % num_batches], 0.0
+        )
+    jax.block_until_ready(m["loss"])
+    dt = time.time() - t0
+
+    scen_per_s = packed / num_batches * iters / dt
+    edges = count_edges(batches[0])
+    edges_per_s = edges * iters / dt
+    print(
+        f"# {iters} steps in {dt:.2f}s → {scen_per_s:.1f} scen/s, "
+        f"{edges_per_s/1e6:.1f}M msg-edges/s (train fwd+bwd)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "train_scenarios_per_sec_per_chip",
+                "value": round(scen_per_s, 2),
+                "unit": "scenarios/s",
+                "vs_baseline": round(scen_per_s / BASELINE_SCEN_PER_S_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,235 @@
+"""Command-line drivers: train / eval / preprocess.
+
+Framework equivalents of the reference's train.py, test.py and
+preprocess_data.py CLIs, on the packed-batch pipeline. Examples:
+
+    python -m lanegcn_tpu.cli train --model lanegcn --data synthetic:256 \
+        --epochs 2 --save-dir results/lanegcn
+    python -m lanegcn_tpu.cli eval --model lanegcn --data synthetic:64 \
+        --weight results/lanegcn/10.000.ckpt
+    python -m lanegcn_tpu.cli preprocess --data synthetic:512 --out shards/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+
+def _parse_data(spec: str):
+    """'synthetic:N[:corridors:actors]' or a shard directory path."""
+    from lanegcn_tpu.data.dataset import ShardDataset, SyntheticDataset
+
+    if spec.startswith("synthetic"):
+        parts = spec.split(":")
+        n = int(parts[1]) if len(parts) > 1 else 256
+        cor = int(parts[2]) if len(parts) > 2 else 3
+        act = int(parts[3]) if len(parts) > 3 else 12
+        return SyntheticDataset(n, num_corridors=cor, num_actors=act)
+    return ShardDataset(spec)
+
+
+def _default_config(args):
+    from lanegcn_tpu.config import Config, PackConfig, TrainConfig
+
+    pack = PackConfig(
+        max_scenarios=args.batch_size,
+        max_actors=16 * args.batch_size,
+        max_nodes=768 * args.batch_size,
+        max_edges_scale0=832 * args.batch_size,
+        max_edges_dilated=1024 * args.batch_size,
+        max_edges_lr=256 * args.batch_size,
+        max_a2m_edges=1024 * args.batch_size,
+        max_m2a_edges=1024 * args.batch_size,
+        max_a2a_edges=384 * args.batch_size,
+    )
+    return Config(pack=pack, train=TrainConfig(batch_size=args.batch_size))
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from lanegcn_tpu.data.dataset import PackedLoader
+    from lanegcn_tpu.models.registry import get_model
+    from lanegcn_tpu.train.checkpoint import load_checkpoint, load_pretrain, save_checkpoint
+    from lanegcn_tpu.train.loop import MetricAccumulator, make_eval_step, make_train_step
+    from lanegcn_tpu.train.optimizer import make_optimizer
+    from lanegcn_tpu.utils.logger import TeeLogger
+
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+        sys.stdout = TeeLogger(os.path.join(args.save_dir, "log"))
+
+    config = _default_config(args)
+    bundle = get_model(args.model, config)
+    dataset = _parse_data(args.data)
+    loader = PackedLoader(dataset, config, shuffle=True, seed=config.train.seed)
+    steps_per_epoch = loader.steps_per_epoch()
+
+    sample = None
+    for b in loader.epoch(0):
+        sample = jax.tree.map(jnp.asarray, b)
+        break
+    net = bundle.net
+    params = net.init(jax.random.PRNGKey(config.train.seed), sample)["params"]
+    tx, lr_fn = make_optimizer(config.train)
+    opt_state = tx.init(params)
+    start_epoch = 0.0
+
+    if args.resume:
+        ck = load_checkpoint(args.resume)
+        params = load_pretrain(params, ck["params"])
+        opt_state = ck["opt_state"]
+        start_epoch = ck["epoch"]
+        print(f"resumed from {args.resume} at epoch {start_epoch:.3f}")
+
+    train_step = make_train_step(config, net, tx, lr_fn)
+    eval_step = make_eval_step(config, net)
+    acc = MetricAccumulator()
+    step = int(start_epoch * steps_per_epoch)
+    t0 = time.time()
+    num_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+    print(f"model {args.model}: {num_params:,} params, "
+          f"{steps_per_epoch} steps/epoch on {jax.devices()[0].platform}")
+
+    for epoch_i in range(int(start_epoch), args.epochs):
+        for b in loader.epoch(epoch_i):
+            batch = jax.tree.map(jnp.asarray, b)
+            epoch = step / steps_per_epoch
+            params, opt_state, metrics = train_step(params, opt_state, batch, epoch)
+            acc.update(metrics)
+            step += 1
+            if step % args.display_every == 0:
+                s = acc.summary()
+                print(
+                    f"epoch {epoch:.3f} lr {float(metrics['lr']):.5f} "
+                    f"loss {s['loss']:.4f} {s['cls']:.4f} {s['reg']:.4f}, "
+                    f"ade1 {s['ade1']:.4f}, fde1 {s['fde1']:.4f}, "
+                    f"ade {s['ade']:.4f}, fde {s['fde']:.4f}, "
+                    f"time {time.time() - t0:.2f}"
+                )
+                acc.reset()
+                t0 = time.time()
+        if args.save_dir:
+            path = os.path.join(args.save_dir, "%3.3f.ckpt" % (epoch_i + 1.0))
+            save_checkpoint(path, params, opt_state, step, epoch_i + 1.0)
+            print(f"saved {path}")
+
+    if args.val_data:
+        _run_eval(config, net, params, _parse_data(args.val_data), eval_step)
+
+
+def _run_eval(config, net, params, dataset, eval_step=None):
+    import jax
+    import jax.numpy as jnp
+
+    from lanegcn_tpu.data.dataset import PackedLoader
+    from lanegcn_tpu.eval import evaluate_predictions
+    from lanegcn_tpu.train.loop import make_eval_step
+
+    if eval_step is None:
+        eval_step = make_eval_step(config, net)
+    loader = PackedLoader(dataset, config, shuffle=False)
+    preds, gts = [], []
+    t0 = time.time()
+    for b in loader.epoch(0):
+        batch = jax.tree.map(jnp.asarray, b)
+        out, _ = eval_step(params, batch)
+        mask = np.asarray(batch.scen_mask)
+        idx = np.asarray(batch.agent_idx)[mask]
+        preds.append(np.asarray(out["reg"])[idx])
+        gts.append(np.asarray(batch.gt_preds)[idx])
+    preds = np.concatenate(preds, 0)
+    gts = np.concatenate(gts, 0)
+    metrics = evaluate_predictions(preds, gts)
+    print(f"validation: {len(preds)} scenarios in {time.time() - t0:.1f}s")
+    for k, v in metrics.items():
+        print(f"  {k}: {v:.4f}")
+    return metrics
+
+
+def cmd_eval(args):
+    import jax
+    import jax.numpy as jnp
+
+    from lanegcn_tpu.models.registry import get_model
+    from lanegcn_tpu.train.checkpoint import load_checkpoint, load_pretrain
+    from lanegcn_tpu.data.dataset import PackedLoader
+
+    config = _default_config(args)
+    bundle = get_model(args.model, config)
+    dataset = _parse_data(args.data)
+
+    loader = PackedLoader(dataset, config, shuffle=False)
+    sample = None
+    for b in loader.epoch(0):
+        sample = jax.tree.map(jnp.asarray, b)
+        break
+    params = bundle.net.init(jax.random.PRNGKey(0), sample)["params"]
+    if args.weight:
+        ck = load_checkpoint(args.weight)
+        params = load_pretrain(params, ck["params"])
+        print(f"loaded {args.weight}")
+    _run_eval(config, bundle.net, params, dataset)
+
+
+def cmd_preprocess(args):
+    """Featurize + graph-build scenarios offline into pickle shards."""
+    dataset = _parse_data(args.data)
+    os.makedirs(args.out, exist_ok=True)
+    shard, shard_id, per_shard = [], 0, args.shard_size
+    t0 = time.time()
+    for i in range(len(dataset)):
+        shard.append(dataset[i])
+        if len(shard) == per_shard:
+            path = os.path.join(args.out, f"shard_{shard_id:05d}.pkl")
+            with open(path, "wb") as f:
+                pickle.dump(shard, f, protocol=pickle.HIGHEST_PROTOCOL)
+            shard, shard_id = [], shard_id + 1
+            print(f"{i + 1}/{len(dataset)} scenarios ({time.time() - t0:.1f}s)")
+    if shard:
+        with open(os.path.join(args.out, f"shard_{shard_id:05d}.pkl"), "wb") as f:
+            pickle.dump(shard, f, protocol=pickle.HIGHEST_PROTOCOL)
+    print(f"wrote {shard_id + 1} shards to {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="lanegcn_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train")
+    pt.add_argument("--model", default="lanegcn")
+    pt.add_argument("--data", default="synthetic:256")
+    pt.add_argument("--val-data", default=None)
+    pt.add_argument("--epochs", type=int, default=2)
+    pt.add_argument("--batch-size", type=int, default=8)
+    pt.add_argument("--save-dir", default=None)
+    pt.add_argument("--resume", default=None)
+    pt.add_argument("--display-every", type=int, default=10)
+    pt.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser("eval")
+    pe.add_argument("--model", default="lanegcn")
+    pe.add_argument("--data", default="synthetic:64")
+    pe.add_argument("--weight", default=None)
+    pe.add_argument("--batch-size", type=int, default=8)
+    pe.set_defaults(fn=cmd_eval)
+
+    pp = sub.add_parser("preprocess")
+    pp.add_argument("--data", default="synthetic:512")
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--shard-size", type=int, default=128)
+    pp.set_defaults(fn=cmd_preprocess)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

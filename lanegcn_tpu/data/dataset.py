@@ -1,0 +1,144 @@
+"""Datasets + packed-batch loader with background host-side packing.
+
+Replaces the reference's DataLoader + giant-pickle flow (reference
+data.py:16-105, preprocess_data.py:242-263) with:
+- ScenarioDataset: per-scenario dicts from a directory of .npz shards
+  (preprocessed offline) or generated synthetically,
+- PackedLoader: shuffles scenario order, packs fixed-capacity batches on a
+  background thread so device steps never wait on host work.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from lanegcn_tpu.config import Config
+from lanegcn_tpu.data.packing import pack_batch
+from lanegcn_tpu.data.synthetic import make_synthetic_scenario
+
+
+class SyntheticDataset:
+    """Deterministic synthetic scenarios by index (tests, benches, demos)."""
+
+    def __init__(self, size: int, num_corridors: int = 3, num_actors: int = 12):
+        self.size = size
+        self.num_corridors = num_corridors
+        self.num_actors = num_actors
+
+    def __len__(self) -> int:
+        return self.size
+
+    def __getitem__(self, idx: int) -> Dict:
+        return make_synthetic_scenario(
+            seed=idx, num_corridors=self.num_corridors, num_actors=self.num_actors
+        )
+
+
+class ShardDataset:
+    """Preprocessed scenarios stored as pickle shards (dir of .pkl files,
+    each a list of scenario dicts — the preprocess CLI writes these)."""
+
+    def __init__(self, root: str):
+        self.paths = sorted(
+            os.path.join(root, f) for f in os.listdir(root) if f.endswith(".pkl")
+        )
+        self._index: List[tuple] = []
+        self._cache: Dict[str, list] = {}
+        for p in self.paths:
+            shard = self._load(p)
+            self._index += [(p, i) for i in range(len(shard))]
+
+    def _load(self, path: str) -> list:
+        if path not in self._cache:
+            if len(self._cache) > 2:  # keep at most 3 shards in memory
+                self._cache.pop(next(iter(self._cache)))
+            with open(path, "rb") as f:
+                self._cache[path] = pickle.load(f)
+        return self._cache[path]
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __getitem__(self, idx: int) -> Dict:
+        path, i = self._index[idx]
+        return self._load(path)[i]
+
+
+class PackedLoader:
+    """Iterates packed batches; packing runs on a background thread.
+
+    Sharding across hosts: pass process_index/process_count to give each
+    host a disjoint scenario shard (reference DistributedSampler,
+    train.py:119-121).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        config: Config,
+        shuffle: bool = True,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+        prefetch: int = 2,
+        drop_stats: Optional[list] = None,
+    ):
+        self.dataset = dataset
+        self.config = config
+        self.shuffle = shuffle
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+        self.drop_stats = drop_stats
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(order)
+        return order[self.process_index :: self.process_count]
+
+    def epoch(self, epoch: int = 0) -> Iterator:
+        """Yield PackedBatch (numpy leaves) for one epoch."""
+        order = self._epoch_order(epoch)
+        scen_per_pack = self.config.pack.max_scenarios
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            group: List[Dict] = []
+            for idx in order:
+                group.append(self.dataset[int(idx)])
+                if len(group) == scen_per_pack:
+                    batch, stats = pack_batch(group, self.config.pack, self.config.model)
+                    if self.drop_stats is not None:
+                        self.drop_stats.append(stats)
+                    q.put(batch)
+                    group = []
+            if group:
+                batch, stats = pack_batch(group, self.config.pack, self.config.model)
+                if self.drop_stats is not None:
+                    self.drop_stats.append(stats)
+                q.put(batch)
+            q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+    def steps_per_epoch(self) -> int:
+        n = len(self._epoch_order(0))
+        return max(1, -(-n // self.config.pack.max_scenarios))

@@ -1,0 +1,66 @@
+"""Tests for forecasting metrics and the packed loader."""
+
+import numpy as np
+
+from lanegcn_tpu.config import Config, PackConfig
+from lanegcn_tpu.data.dataset import PackedLoader, SyntheticDataset
+from lanegcn_tpu.eval import evaluate_predictions, forecasting_metrics
+
+
+def test_metrics_perfect_prediction():
+    rng = np.random.default_rng(0)
+    gts = rng.normal(size=(5, 30, 2))
+    preds = np.repeat(gts[:, None], 6, axis=1)
+    m = forecasting_metrics(preds, gts, k=6)
+    assert m["minADE_6"] == 0.0 and m["minFDE_6"] == 0.0 and m["MR_6"] == 0.0
+
+
+def test_metrics_min_over_modes():
+    gts = np.zeros((1, 30, 2))
+    preds = np.zeros((1, 6, 30, 2))
+    preds[:, :5] += 100.0  # modes 0-4 terrible, mode 5 perfect
+    m = forecasting_metrics(preds, gts, k=6)
+    assert m["minADE_6"] == 0.0
+    m1 = forecasting_metrics(preds, gts, k=1)  # only mode 0 → miss
+    assert m1["MR_1"] == 1.0
+    assert m1["minFDE_1"] > 2.0
+
+
+def test_metrics_miss_rate_threshold():
+    gts = np.zeros((2, 30, 2))
+    preds = np.zeros((2, 6, 30, 2))
+    preds[0, :, -1, 0] = 1.9  # final-step error 1.9 < 2 → hit
+    preds[1, :, -1, 0] = 2.1  # miss
+    m = forecasting_metrics(preds, gts, k=6)
+    assert m["MR_6"] == 0.5
+    full = evaluate_predictions(preds, gts)
+    assert set(full) == {"minADE_6", "minFDE_6", "MR_6", "minADE_1", "minFDE_1", "MR_1"}
+
+
+def test_packed_loader_covers_dataset():
+    cfg = Config(pack=PackConfig(
+        max_scenarios=3, max_actors=96, max_nodes=4096,
+        max_edges_scale0=8192, max_edges_dilated=8192, max_edges_lr=2048,
+        max_a2m_edges=8192, max_m2a_edges=8192, max_a2a_edges=4096,
+    ))
+    ds = SyntheticDataset(7, num_corridors=1, num_actors=4)
+    stats = []
+    loader = PackedLoader(ds, cfg, shuffle=True, seed=1, drop_stats=stats)
+    batches = list(loader.epoch(0))
+    assert len(batches) == loader.steps_per_epoch() == 3  # ceil(7/3)
+    total = sum(s["packed_scenarios"] for s in stats)
+    assert total + sum(s["skipped_scenarios"] for s in stats) == 7
+
+
+def test_packed_loader_process_sharding():
+    cfg = Config(pack=PackConfig(max_scenarios=2, max_actors=64, max_nodes=4096,
+        max_edges_scale0=8192, max_edges_dilated=8192, max_edges_lr=2048,
+        max_a2m_edges=8192, max_m2a_edges=8192, max_a2a_edges=4096))
+    ds = SyntheticDataset(8, num_corridors=1, num_actors=4)
+    seen = []
+    for rank in range(2):
+        loader = PackedLoader(ds, cfg, shuffle=True, seed=3,
+                              process_index=rank, process_count=2)
+        seen.append(set(loader._epoch_order(0).tolist()))
+    assert seen[0].isdisjoint(seen[1])
+    assert seen[0] | seen[1] == set(range(8))
