@@ -21,17 +21,37 @@ import time
 import numpy as np
 
 
-def _parse_data(spec: str):
+def _parse_data(spec: str, model: str = "lanegcn"):
     """'synthetic:N[:corridors:actors]' or a shard directory path."""
-    from lanegcn_tpu.data.dataset import ShardDataset, SyntheticDataset
+    from lanegcn_tpu.data.dataset import (
+        RoiSyntheticDataset,
+        ShardDataset,
+        SyntheticDataset,
+    )
 
     if spec.startswith("synthetic"):
         parts = spec.split(":")
         n = int(parts[1]) if len(parts) > 1 else 256
         cor = int(parts[2]) if len(parts) > 2 else 3
         act = int(parts[3]) if len(parts) > 3 else 12
-        return SyntheticDataset(n, num_corridors=cor, num_actors=act)
+        cls = RoiSyntheticDataset if model == "lanercnn" else SyntheticDataset
+        return cls(n, num_corridors=cor, num_actors=act)
     return ShardDataset(spec)
+
+
+def _make_loader(dataset, config, model: str, **kw):
+    """Model-family-aware loader: LaneRCNN uses the RoI packer."""
+    from lanegcn_tpu.data.dataset import PackedLoader
+
+    if model == "lanercnn":
+        from lanegcn_tpu.data.packing_roi import pack_roi_batch
+
+        packer = lambda scens, cfg: pack_roi_batch(scens, cfg.roi_pack, cfg.model)
+        return PackedLoader(
+            dataset, config, packer=packer,
+            scen_per_pack=config.roi_pack.max_scenarios, **kw,
+        )
+    return PackedLoader(dataset, config, **kw)
 
 
 def _default_config(args):
@@ -55,7 +75,6 @@ def cmd_train(args):
     import jax
     import jax.numpy as jnp
 
-    from lanegcn_tpu.data.dataset import PackedLoader
     from lanegcn_tpu.models.registry import get_model
     from lanegcn_tpu.train.checkpoint import load_checkpoint, load_pretrain, save_checkpoint
     from lanegcn_tpu.train.loop import MetricAccumulator, make_eval_step, make_train_step
@@ -68,8 +87,9 @@ def cmd_train(args):
 
     config = _default_config(args)
     bundle = get_model(args.model, config)
-    dataset = _parse_data(args.data)
-    loader = PackedLoader(dataset, config, shuffle=True, seed=config.train.seed)
+    config = bundle.config  # model factories may adjust (e.g. AdamW)
+    dataset = _parse_data(args.data, args.model)
+    loader = _make_loader(dataset, config, args.model, shuffle=True, seed=config.train.seed)
     steps_per_epoch = loader.steps_per_epoch()
 
     sample = None
@@ -89,8 +109,10 @@ def cmd_train(args):
         start_epoch = ck["epoch"]
         print(f"resumed from {args.resume} at epoch {start_epoch:.3f}")
 
-    train_step = make_train_step(config, net, tx, lr_fn)
-    eval_step = make_eval_step(config, net)
+    train_step = make_train_step(
+        config, net, tx, lr_fn, bundle.loss_fn, bundle.metrics_fn
+    )
+    eval_step = make_eval_step(config, net, bundle.loss_fn, bundle.metrics_fn)
     acc = MetricAccumulator()
     step = int(start_epoch * steps_per_epoch)
     t0 = time.time()
@@ -122,29 +144,28 @@ def cmd_train(args):
             print(f"saved {path}")
 
     if args.val_data:
-        _run_eval(config, net, params, _parse_data(args.val_data), eval_step)
+        _run_eval(config, bundle, params,
+                  _parse_data(args.val_data, args.model), eval_step)
 
 
-def _run_eval(config, net, params, dataset, eval_step=None):
+def _run_eval(config, bundle, params, dataset, eval_step=None):
     import jax
     import jax.numpy as jnp
 
-    from lanegcn_tpu.data.dataset import PackedLoader
     from lanegcn_tpu.eval import evaluate_predictions
     from lanegcn_tpu.train.loop import make_eval_step
 
     if eval_step is None:
-        eval_step = make_eval_step(config, net)
-    loader = PackedLoader(dataset, config, shuffle=False)
+        eval_step = make_eval_step(config, bundle.net, bundle.loss_fn, bundle.metrics_fn)
+    loader = _make_loader(dataset, config, bundle.name, shuffle=False)
     preds, gts = [], []
     t0 = time.time()
     for b in loader.epoch(0):
         batch = jax.tree.map(jnp.asarray, b)
         out, _ = eval_step(params, batch)
-        mask = np.asarray(batch.scen_mask)
-        idx = np.asarray(batch.agent_idx)[mask]
-        preds.append(np.asarray(out["reg"])[idx])
-        gts.append(np.asarray(batch.gt_preds)[idx])
+        p, g = bundle.extract_fn(out, batch)
+        preds.append(p)
+        gts.append(g)
     preds = np.concatenate(preds, 0)
     gts = np.concatenate(gts, 0)
     metrics = evaluate_predictions(preds, gts)
@@ -160,13 +181,13 @@ def cmd_eval(args):
 
     from lanegcn_tpu.models.registry import get_model
     from lanegcn_tpu.train.checkpoint import load_checkpoint, load_pretrain
-    from lanegcn_tpu.data.dataset import PackedLoader
 
     config = _default_config(args)
     bundle = get_model(args.model, config)
-    dataset = _parse_data(args.data)
+    config = bundle.config
+    dataset = _parse_data(args.data, args.model)
 
-    loader = PackedLoader(dataset, config, shuffle=False)
+    loader = _make_loader(dataset, config, args.model, shuffle=False)
     sample = None
     for b in loader.epoch(0):
         sample = jax.tree.map(jnp.asarray, b)
@@ -176,12 +197,12 @@ def cmd_eval(args):
         ck = load_checkpoint(args.weight)
         params = load_pretrain(params, ck["params"])
         print(f"loaded {args.weight}")
-    _run_eval(config, bundle.net, params, dataset)
+    _run_eval(config, bundle, params, dataset)
 
 
 def cmd_preprocess(args):
     """Featurize + graph-build scenarios offline into pickle shards."""
-    dataset = _parse_data(args.data)
+    dataset = _parse_data(args.data, getattr(args, "model", "lanegcn"))
     os.makedirs(args.out, exist_ok=True)
     shard, shard_id, per_shard = [], 0, args.shard_size
     t0 = time.time()
@@ -222,6 +243,7 @@ def main(argv=None):
     pe.set_defaults(fn=cmd_eval)
 
     pp = sub.add_parser("preprocess")
+    pp.add_argument("--model", default="lanegcn")
     pp.add_argument("--data", default="synthetic:512")
     pp.add_argument("--out", required=True)
     pp.add_argument("--shard-size", type=int, default=128)

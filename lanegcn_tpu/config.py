@@ -76,6 +76,31 @@ class PackConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RoiPackConfig:
+    """Static capacities for a LaneRCNN RoI pack (reference batch_size=10,
+    lanercnn.py:49; each scenario contributes one RoI per moving agent)."""
+
+    max_scenarios: int = 10
+    max_rois: int = 128          # RoIs (valid agents) across the pack
+    max_roi_nodes: int = 12288   # Σ RoI subgraph nodes
+    max_interest_nodes: int = 2048  # Σ nodes of interest RoIs (decode)
+    max_edges_scale0: int = 16384
+    max_edges_dilated: int = 20480
+    max_edges_lr: int = 16384
+    max_a2m_edges: int = 4096    # agent → RoI-node (≤5 m)
+    max_pool_edges: int = 32768  # RoI-node ↔ global-node (≤6 m)
+    max_a2r_edges: int = 8192    # traj-point → interest-node (≤6 m)
+
+    def edge_capacity(self, relation: str) -> int:
+        if relation in ("left", "right"):
+            return self.max_edges_lr
+        if relation.startswith(("pre", "suc")):
+            scale = int(relation[3:])
+            return self.max_edges_scale0 if scale == 0 else self.max_edges_dilated
+        raise ValueError(f"unknown relation {relation!r}")
+
+
+@dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Training recipe (reference lanegcn.py:29-53, utils.py:98-177)."""
 
@@ -99,6 +124,7 @@ class Config:
     model: ModelConfig = ModelConfig()
     loss: LossConfig = LossConfig()
     pack: PackConfig = PackConfig()
+    roi_pack: RoiPackConfig = RoiPackConfig()
     train: TrainConfig = TrainConfig()
 
 

@@ -40,6 +40,15 @@ class SyntheticDataset:
         )
 
 
+class RoiSyntheticDataset(SyntheticDataset):
+    """Synthetic scenarios with per-agent LaneRoI subgraphs (LaneRCNN)."""
+
+    def __getitem__(self, idx: int) -> Dict:
+        from lanegcn_tpu.data.lane_roi import generate_lane_rois
+
+        return generate_lane_rois(super().__getitem__(idx))
+
+
 class ShardDataset:
     """Preprocessed scenarios stored as pickle shards (dir of .pkl files,
     each a list of scenario dicts — the preprocess CLI writes these)."""
@@ -88,7 +97,11 @@ class PackedLoader:
         process_count: int = 1,
         prefetch: int = 2,
         drop_stats: Optional[list] = None,
+        packer=None,
+        scen_per_pack: Optional[int] = None,
     ):
+        """packer: (scenarios, config) → (batch, stats); defaults to the
+        LaneGCN pack_batch. For LaneRCNN pass a pack_roi_batch wrapper."""
         self.dataset = dataset
         self.config = config
         self.shuffle = shuffle
@@ -97,6 +110,10 @@ class PackedLoader:
         self.process_count = process_count
         self.prefetch = prefetch
         self.drop_stats = drop_stats
+        self.packer = packer or (
+            lambda scens, cfg: pack_batch(scens, cfg.pack, cfg.model)
+        )
+        self.scen_per_pack = scen_per_pack or config.pack.max_scenarios
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -107,9 +124,9 @@ class PackedLoader:
         return order[self.process_index :: self.process_count]
 
     def epoch(self, epoch: int = 0) -> Iterator:
-        """Yield PackedBatch (numpy leaves) for one epoch."""
+        """Yield packed batches (numpy leaves) for one epoch."""
         order = self._epoch_order(epoch)
-        scen_per_pack = self.config.pack.max_scenarios
+        scen_per_pack = self.scen_per_pack
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
@@ -118,13 +135,13 @@ class PackedLoader:
             for idx in order:
                 group.append(self.dataset[int(idx)])
                 if len(group) == scen_per_pack:
-                    batch, stats = pack_batch(group, self.config.pack, self.config.model)
+                    batch, stats = self.packer(group, self.config)
                     if self.drop_stats is not None:
                         self.drop_stats.append(stats)
                     q.put(batch)
                     group = []
             if group:
-                batch, stats = pack_batch(group, self.config.pack, self.config.model)
+                batch, stats = self.packer(group, self.config)
                 if self.drop_stats is not None:
                     self.drop_stats.append(stats)
                 q.put(batch)
@@ -141,4 +158,4 @@ class PackedLoader:
 
     def steps_per_epoch(self) -> int:
         n = len(self._epoch_order(0))
-        return max(1, -(-n // self.config.pack.max_scenarios))
+        return max(1, -(-n // self.scen_per_pack))

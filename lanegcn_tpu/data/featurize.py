@@ -44,7 +44,7 @@ def featurize_scenario(
         [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]], np.float32
     )
 
-    feats, ctrs, gt_preds, has_preds = [], [], [], []
+    feats, ctrs, gt_preds, has_preds, obs_trajs = [], [], [], [], []
     x_min, x_max, y_min, y_max = pred_range
     for traj, step in zip(trajs, steps):
         traj = np.asarray(traj, np.float64)
@@ -76,6 +76,7 @@ def featurize_scenario(
         if not (x_min <= feat[-1, 0] <= x_max and y_min <= feat[-1, 1] <= y_max):
             continue
 
+        obs_trajs.append(feat.copy())  # agent-frame absolute positions
         ctrs.append(feat[-1, :2].copy())
         feat[1:, :2] -= feat[:-1, :2]
         feat[step_o[0], :2] = 0
@@ -91,4 +92,5 @@ def featurize_scenario(
         "rot": rot,
         "gt_preds": np.asarray(gt_preds, np.float32).reshape(-1, num_pred, 2),
         "has_preds": np.asarray(has_preds, bool).reshape(-1, num_pred),
+        "obs_trajs": np.asarray(obs_trajs, np.float32).reshape(-1, num_hist, 3),
     }

@@ -110,6 +110,47 @@ class PackedBatch:
         return self.rot.shape[0]
 
 
+@struct.dataclass
+class RoiPackedBatch:
+    """LaneRCNN batch: per-agent LaneRoI subgraphs flattened RoI-major
+    (reference subgraph_gather lanercnn.py:122-231), the shared global lane
+    graph, RoI↔graph pooling edges, and the interest-RoI decode layout.
+
+    Shapes: M = roi-node capacity, R = RoI capacity, MI = interest-node
+    capacity, B = scenario capacity, N = global-node capacity, T = history.
+    """
+
+    # RoI nodes (all RoIs of all scenarios concatenated).
+    node_feats: jax.Array  # [M, 8] (ctr, dir, turn, control, intersect)
+    node_mask: jax.Array  # [M] bool
+    node_roi: jax.Array  # [M] int32 → RoI row
+    # RoIs (one per valid agent).
+    agent_feat: jax.Array  # [R, 80] flattened 20×(traj_xy, delta_xy)
+    agent_vel: jax.Array  # [R]
+    roi_mask: jax.Array  # [R] bool
+    roi_scen: jax.Array  # [R] int32
+    edges: Dict[str, EdgeSet]  # relations within [M]
+    a2m: EdgeSet  # u → RoI rows [R], v → roi-node rows [M]
+    # Global lane graph (same structure as LaneGCN's).
+    graph: LaneGraphBatch
+    r2g: EdgeSet  # u → global-node rows [N], v → roi-node rows [M]
+    g2r: EdgeSet  # u → roi-node rows [M], v → global-node rows [N]
+    # Interest-RoI decode layout (first valid agent per scenario).
+    int_node_idx: jax.Array  # [MI] int32 → roi-node row in [M]
+    int_node_scen: jax.Array  # [MI] int32 → scenario row in [B]
+    int_node_mask: jax.Array  # [MI] bool
+    a2r: EdgeSet  # u → interest-node rows [MI], v → traj-point rows [B*T]
+    # Focal (interest) agent data per scenario, agent frame.
+    agt_ctrs: jax.Array  # [B, 2]
+    agt_dirs: jax.Array  # [B, 2] normalized last-step heading (0 if still)
+    agt_vels: jax.Array  # [B]
+    agt_trajs: jax.Array  # [B, T, 2] observed positions (agent frame)
+    agt_traj_dirs: jax.Array  # [B, T, 2] per-step motion deltas
+    gt_preds: jax.Array  # [B, T_pred, 2] agent-frame ground truth
+    has_preds: jax.Array  # [B, T_pred] bool
+    scen_mask: jax.Array  # [B] bool
+
+
 def empty_edge_set(capacity: int) -> EdgeSet:
     return EdgeSet(
         u=jnp.zeros((capacity,), jnp.int32),

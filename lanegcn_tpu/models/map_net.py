@@ -14,30 +14,31 @@ gather + deterministic scatter-add over static-capacity edge lists.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from lanegcn_tpu.config import ModelConfig, relation_names
-from lanegcn_tpu.graph import LaneGraphBatch
+from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch
 from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear, torch_uniform_init
 from lanegcn_tpu.ops import masked_gather, scatter_add
 
 
 class LaneConvStack(nn.Module):
-    """num_layers residual LaneConv blocks; shared by MapNet and M2M."""
+    """num_layers residual LaneConv blocks; shared by MapNet, M2M, and the
+    LaneRCNN RoI/global-graph encoders (same 14-relation kernel)."""
 
     cfg: ModelConfig
     num_layers: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feat: jax.Array, graph: LaneGraphBatch) -> jax.Array:
+    def __call__(self, feat: jax.Array, edges: Dict[str, EdgeSet]) -> jax.Array:
         n_map = self.cfg.n_map
         names = relation_names(self.cfg.num_scales)
-        num_nodes = graph.capacity
+        num_nodes = feat.shape[0]
 
         res = feat
         for i in range(self.num_layers):
@@ -56,7 +57,7 @@ class LaneConvStack(nn.Module):
                 preferred_element_type=self.dtype,
             )
             for r, name in enumerate(names):
-                e = graph.edges[name]
+                e = edges[name]
                 msg = masked_gather(h[r], e.v, e.mask)
                 temp = scatter_add(msg, e.u, num_nodes, mask=e.mask, out=temp)
 
@@ -86,4 +87,4 @@ class MapNet(nn.Module):
 
         return LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="fuse"
-        )(feat, graph)
+        )(feat, graph.edges)

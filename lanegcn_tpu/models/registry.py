@@ -19,9 +19,11 @@ from lanegcn_tpu.config import Config
 class ModelBundle:
     name: str
     config: Config
-    net: Any  # flax module taking a PackedBatch
+    net: Any  # flax module taking a packed batch
     loss_fn: Callable  # (out, batch, loss_cfg) → dict with "loss" + sums
     metrics_fn: Callable  # (out, batch) → metric sums
+    # (out, batch) → (preds [n, K, T, 2], gts [n, T, 2]) numpy, for eval.
+    extract_fn: Callable = None
 
 
 _REGISTRY: Dict[str, Callable[[Config], ModelBundle]] = {}
@@ -45,6 +47,21 @@ def available() -> list:
     return sorted(_REGISTRY)
 
 
+def _extract_lanegcn(out, batch):
+    import numpy as np
+
+    mask = np.asarray(batch.scen_mask)
+    idx = np.asarray(batch.agent_idx)[mask]
+    return np.asarray(out["reg"])[idx], np.asarray(batch.gt_preds)[idx]
+
+
+def _extract_lanercnn(out, batch):
+    import numpy as np
+
+    mask = np.asarray(batch.scen_mask)
+    return np.asarray(out["pred_trajs"])[mask], np.asarray(batch.gt_preds)[mask]
+
+
 @register("lanegcn")
 def _lanegcn(config: Config) -> ModelBundle:
     from lanegcn_tpu.models.lanegcn import LaneGCN, agent_metrics, pred_loss
@@ -55,4 +72,27 @@ def _lanegcn(config: Config) -> ModelBundle:
         net=LaneGCN(config.model),
         loss_fn=pred_loss,
         metrics_fn=agent_metrics,
+        extract_fn=_extract_lanegcn,
+    )
+
+
+@register("lanercnn")
+def _lanercnn(config: Config) -> ModelBundle:
+    """LaneRCNN trains with AdamW + weight decay 0.01 (reference
+    lanercnn.py:37,42) and consumes RoiPackedBatch inputs."""
+    import dataclasses
+
+    from lanegcn_tpu.models.lanercnn import LaneRCNN, roi_loss, roi_metrics
+
+    if config.train.opt == "adam" and config.train.weight_decay == 0.0:
+        config = dataclasses.replace(
+            config, train=dataclasses.replace(config.train, opt="adamw", weight_decay=0.01)
+        )
+    return ModelBundle(
+        name="lanercnn",
+        config=config,
+        net=LaneRCNN(config.model),
+        loss_fn=roi_loss,
+        metrics_fn=roi_metrics,
+        extract_fn=_extract_lanercnn,
     )

@@ -39,36 +39,44 @@ def init_state(config: Config, rng_key, sample_batch: PackedBatch, dtype=jnp.flo
     return net, TrainState(params, opt_state), tx, lr_fn
 
 
-def make_train_step(config: Config, net: LaneGCN, tx, lr_fn) -> Callable:
+def make_train_step(
+    config: Config, net, tx, lr_fn, loss_fn=None, metrics_fn=None
+) -> Callable:
     """Returns jitted fn(params, opt_state, batch, epoch) →
-    (params, opt_state, metrics)."""
+    (params, opt_state, metrics). loss_fn/metrics_fn default to LaneGCN's;
+    pass the model bundle's for other families (e.g. LaneRCNN)."""
+    loss_fn = loss_fn or pred_loss
+    metrics_fn = metrics_fn or agent_metrics
 
-    def loss_fn(params, batch):
+    def objective(params, batch):
         out = net.apply({"params": params}, batch)
-        losses = pred_loss(out, batch, config.loss)
+        losses = loss_fn(out, batch, config.loss)
         return losses["loss"], (losses, out)
 
     @jax.jit
-    def train_step(params, opt_state, batch: PackedBatch, epoch):
-        (_, (losses, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+    def train_step(params, opt_state, batch, epoch):
+        (_, (losses, out)), grads = jax.value_and_grad(objective, has_aux=True)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         lr = lr_fn(epoch)
         params = jax.tree.map(lambda p, u: p + u, params, apply_lr(updates, lr))
         metrics = dict(losses)
-        metrics.update(agent_metrics(out, batch))
+        metrics.update(metrics_fn(out, batch))
         metrics["lr"] = lr
         return params, opt_state, metrics
 
     return train_step
 
 
-def make_eval_step(config: Config, net: LaneGCN) -> Callable:
+def make_eval_step(config: Config, net, loss_fn=None, metrics_fn=None) -> Callable:
+    loss_fn = loss_fn or pred_loss
+    metrics_fn = metrics_fn or agent_metrics
+
     @jax.jit
-    def eval_step(params, batch: PackedBatch):
+    def eval_step(params, batch):
         out = net.apply({"params": params}, batch)
-        losses = pred_loss(out, batch, config.loss)
+        losses = loss_fn(out, batch, config.loss)
         metrics = dict(losses)
-        metrics.update(agent_metrics(out, batch))
+        metrics.update(metrics_fn(out, batch))
         return out, metrics
 
     return eval_step

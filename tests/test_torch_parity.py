@@ -203,8 +203,8 @@ def test_lane_conv_parity():
         node_mask=jnp.ones(n, bool), node_scen=jnp.zeros(n, jnp.int32), edges=edges,
     )
     mod = LaneConvStack(cfg, num_layers=1)
-    params = mod.init(jax.random.PRNGKey(6), jnp.array(feat), graph)["params"]
-    ours = mod.apply({"params": params}, jnp.array(feat), graph)
+    params = mod.init(jax.random.PRNGKey(6), jnp.array(feat), graph.edges)["params"]
+    ours = mod.apply({"params": params}, jnp.array(feat), graph.edges)
 
     ft = t(feat)
     temp = ft @ t(params["ctr_0"]["kernel"])
