@@ -49,7 +49,15 @@ class Lane:
 
 
 def dilated_nbrs(u: np.ndarray, v: np.ndarray, num_nodes: int, num_scales: int):
-    """Boolean CSR adjacency squared per scale: scale i = exact 2^i-hop pairs."""
+    """Boolean CSR adjacency squared per scale: scale i = exact 2^i-hop pairs.
+
+    Uses the native C++ SpGEMM (lanegcn_tpu.native) when available, falling
+    back to scipy (the reference's approach, data.py:520-534)."""
+    from lanegcn_tpu import native
+
+    res = native.dilated_nbrs(u, v, num_nodes, num_scales)
+    if res is not None:
+        return res
     data = np.ones(len(u), bool)
     mat = sparse.csr_matrix((data, (u, v)), shape=(num_nodes, num_nodes))
     out = []
@@ -76,6 +84,7 @@ def _cross_edges(
     feats: np.ndarray,
     cross_dist: float,
     sector_block: Optional[np.ndarray],
+    ctrs: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
     """Nearest valid node of the side-neighbor lane set, direction-filtered
     (reference preprocess_data.py:315-349)."""
@@ -86,6 +95,13 @@ def _cross_edges(
     # Expand side-neighborhood through lane pre/suc so adjacent segments of
     # connected lanes qualify too.
     reach = (mat @ pre + mat @ suc + mat) > 0.5
+
+    if sector_block is None and ctrs is not None:
+        from lanegcn_tpu import native
+
+        res = native.cross_edges(ctrs, feats, lane_idcs, reach, cross_dist)
+        if res is not None:
+            return {"u": res[0], "v": res[1]}
 
     allowed = reach[lane_idcs[:, None], lane_idcs[None, :]]
     side_dist = np.where(allowed, dist, 1e6)
@@ -227,10 +243,12 @@ def build_lane_graph(
         pre_m = _pairs_matrix(pre_pairs, num_lanes)
         suc_m = _pairs_matrix(suc_pairs, num_lanes)
         graph["left"] = _cross_edges(
-            left_pairs, pre_m, suc_m, lane_idcs, dist, graph["feats"], cross_dist, sector_left
+            left_pairs, pre_m, suc_m, lane_idcs, dist, graph["feats"], cross_dist,
+            sector_left, ctrs=graph["ctrs"],
         )
         graph["right"] = _cross_edges(
-            right_pairs, pre_m, suc_m, lane_idcs, dist, graph["feats"], cross_dist, sector_right
+            right_pairs, pre_m, suc_m, lane_idcs, dist, graph["feats"], cross_dist,
+            sector_right, ctrs=graph["ctrs"],
         )
     else:
         graph["left"] = {"u": np.zeros(0, np.int32), "v": np.zeros(0, np.int32)}

@@ -34,6 +34,11 @@ def _threshold_edges(
     """All (i, j) with ||dst[i] - src[j]|| <= th (reference lanegcn.py:676-687)."""
     if len(dst_ctrs) == 0 or len(src_ctrs) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    from lanegcn_tpu import native
+
+    res = native.threshold_edges(dst_ctrs, src_ctrs, th)
+    if res is not None:
+        return res[0].astype(np.int64), res[1].astype(np.int64)
     d = dst_ctrs[:, None, :] - src_ctrs[None, :, :]
     dist = np.sqrt((d ** 2).sum(2))
     return np.nonzero(dist <= th)[:2]

@@ -9,7 +9,9 @@ no explicit collectives or broadcasts in user code.
 
 from lanegcn_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
+    graph_batch_shardings,
     make_mesh,
+    make_mesh_2d,
     make_parallel_train_step,
     replicate_sharding,
     stack_packs,

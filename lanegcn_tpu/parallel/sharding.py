@@ -23,13 +23,50 @@ from lanegcn_tpu.train.optimizer import apply_lr
 
 
 def make_mesh(devices: Sequence[jax.Device] | None = None, data: int | None = None) -> Mesh:
-    """1-D `data` mesh (graph/edge-partition axis arrives with the sharded
-    LaneConv; see parallel/graph_shard.py)."""
+    """1-D `data` mesh."""
     if devices is None:
         devices = jax.devices()
     if data is None:
         data = len(devices)
     return Mesh(np.asarray(devices[:data]).reshape(data), ("data",))
+
+
+def make_mesh_2d(
+    devices: Sequence[jax.Device] | None = None,
+    data: int | None = None,
+    graph: int = 1,
+) -> Mesh:
+    """2-D (data × graph) mesh: packs shard over `data`, the node/edge axes
+    of each pack shard over `graph` (edge-partitioned lane graph — GSPMD
+    inserts the boundary gathers/reductions over ICI)."""
+    if devices is None:
+        devices = jax.devices()
+    if data is None:
+        data = len(devices) // graph
+    need = data * graph
+    assert len(devices) >= need, (len(devices), data, graph)
+    return Mesh(np.asarray(devices[:need]).reshape(data, graph), ("data", "graph"))
+
+
+def graph_batch_shardings(mesh: Mesh, batch) -> object:
+    """Per-leaf shardings for a stacked batch on a (data, graph) mesh: the
+    leading pack axis shards over `data`; the per-pack node/edge/actor axis
+    (dim 1) shards over `graph` when divisible. Scalars-per-pack stay
+    data-sharded only."""
+    graph_size = mesh.shape.get("graph", 1)
+
+    def spec(leaf):
+        arr = np.asarray(leaf) if not hasattr(leaf, "ndim") else leaf
+        if (
+            graph_size > 1
+            and arr.ndim >= 2
+            and arr.shape[1] >= 2 * graph_size
+            and arr.shape[1] % graph_size == 0
+        ):
+            return NamedSharding(mesh, P("data", "graph"))
+        return NamedSharding(mesh, P("data"))
+
+    return jax.tree.map(spec, batch)
 
 
 def stack_packs(packs: Sequence[PackedBatch]) -> PackedBatch:
@@ -45,21 +82,35 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def make_parallel_train_step(config: Config, net: LaneGCN, tx, lr_fn, mesh: Mesh) -> Callable:
+def make_parallel_train_step(
+    config: Config,
+    net,
+    tx,
+    lr_fn,
+    mesh: Mesh,
+    loss_fn=None,
+    metrics_fn=None,
+    batch_shardings=None,
+) -> Callable:
     """jit-compiled SPMD train step over stacked packs.
 
     fn(params, opt_state, batch[G, ...], epoch) → (params, opt_state, metrics)
     Loss = mean of per-pack losses (each normalized by its own support,
     matching horovod's average-of-local-losses gradient semantics,
     reference train.py:66-69); metric sums are summed across packs.
-    """
 
-    def loss_fn(params, batch):
+    batch_shardings: optional per-leaf shardings (e.g. graph_batch_shardings
+    for a 2-D data×graph mesh); defaults to leading-axis data sharding.
+    """
+    loss_fn = loss_fn or pred_loss
+    metrics_fn = metrics_fn or agent_metrics
+
+    def mean_loss(params, batch):
         def per_pack(b):
             out = net.apply({"params": params}, b)
-            losses = pred_loss(out, b, config.loss)
+            losses = loss_fn(out, b, config.loss)
             m = dict(losses)
-            m.update(agent_metrics(out, b))
+            m.update(metrics_fn(out, b))
             return losses["loss"], m
 
         loss, metrics = jax.vmap(per_pack)(batch)
@@ -67,8 +118,8 @@ def make_parallel_train_step(config: Config, net: LaneGCN, tx, lr_fn, mesh: Mesh
         metrics["loss"] = jnp.mean(loss)
         return jnp.mean(loss), metrics
 
-    def train_step(params, opt_state, batch: PackedBatch, epoch):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+    def train_step(params, opt_state, batch, epoch):
+        (_, metrics), grads = jax.value_and_grad(mean_loss, has_aux=True)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         lr = lr_fn(epoch)
         params = jax.tree.map(lambda p, u: p + u, params, apply_lr(updates, lr))
@@ -76,7 +127,7 @@ def make_parallel_train_step(config: Config, net: LaneGCN, tx, lr_fn, mesh: Mesh
         return params, opt_state, metrics
 
     repl = replicate_sharding(mesh)
-    data = batch_sharding(mesh)
+    data = batch_shardings if batch_shardings is not None else batch_sharding(mesh)
     return jax.jit(
         train_step,
         in_shardings=(repl, repl, data, None),

@@ -67,6 +67,52 @@ def make_train_step(
     return train_step
 
 
+def make_multi_train_step(
+    config: Config, net, tx, lr_fn, loss_fn=None, metrics_fn=None
+) -> Callable:
+    """K training steps per dispatch: lax.scan over stacked batches.
+
+    fn(params, opt_state, batches[K, ...], epoch0, d_epoch) →
+    (params, opt_state, metrics) where metrics are summed over the K steps
+    (loss = mean, lr = last). One host→device round trip per K steps — hides
+    dispatch latency, which dominates when steps are ~ms (single-chip LaneGCN
+    runs at ~2 ms/step; per-call dispatch costs tens of ms through a relay).
+    """
+    loss_fn = loss_fn or pred_loss
+    metrics_fn = metrics_fn or agent_metrics
+
+    def objective(params, batch):
+        out = net.apply({"params": params}, batch)
+        losses = loss_fn(out, batch, config.loss)
+        return losses["loss"], (losses, out)
+
+    @jax.jit
+    def multi_step(params, opt_state, batches, epoch0, d_epoch):
+        def body(carry, batch):
+            params, opt_state, i = carry
+            epoch = epoch0 + i * d_epoch
+            (_, (losses, out)), grads = jax.value_and_grad(objective, has_aux=True)(
+                params, batch
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            lr = lr_fn(epoch)
+            params = jax.tree.map(lambda p, u: p + u, params, apply_lr(updates, lr))
+            metrics = dict(losses)
+            metrics.update(metrics_fn(out, batch))
+            metrics["lr"] = lr
+            return (params, opt_state, i + 1.0), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            body, (params, opt_state, 0.0), batches
+        )
+        out = jax.tree.map(lambda x: jnp.sum(x, axis=0), metrics)
+        out["loss"] = jnp.mean(metrics["loss"])
+        out["lr"] = metrics["lr"][-1]
+        return params, opt_state, out
+
+    return multi_step
+
+
 def make_eval_step(config: Config, net, loss_fn=None, metrics_fn=None) -> Callable:
     loss_fn = loss_fn or pred_loss
     metrics_fn = metrics_fn or agent_metrics
