@@ -101,38 +101,28 @@ def main():
     tx, lr_fn = make_optimizer(config.train)
     opt_state = tx.init(params)
 
-    # K steps per dispatch (lax.scan) — dispatch latency through the TPU
-    # relay dwarfs the ~2 ms device step, so production loops batch steps.
-    k = 8
-    from lanegcn_tpu.train.loop import make_multi_train_step
-
-    multi_step = make_multi_train_step(config, net, tx, lr_fn)
-    # Cycle the packed batches into a [K, ...] stack for the scan.
-    stacked = jax.tree.map(
-        lambda *xs: jnp.stack([xs[i % num_batches] for i in range(k)], axis=0),
-        *batches,
-    )
+    train_step = make_train_step(config, net, tx, lr_fn)
 
     t0 = time.time()
-    params, opt_state, m = multi_step(params, opt_state, stacked, 0.0, 1e-6)
+    params, opt_state, m = train_step(params, opt_state, batches[0], 0.0)
     jax.block_until_ready(m["loss"])
-    print(f"# compile+first dispatch ({k} steps): {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    dispatches = 4
+    iters = 40
     t0 = time.time()
-    for _ in range(dispatches):
-        params, opt_state, m = multi_step(params, opt_state, stacked, 0.0, 1e-6)
+    for i in range(iters):
+        params, opt_state, m = train_step(
+            params, opt_state, batches[i % num_batches], 0.0
+        )
     jax.block_until_ready(m["loss"])
     dt = time.time() - t0
 
-    iters = dispatches * k
     scen_per_s = scen_per_batch * iters / dt
     edges = count_edges(batches[0])
     edges_per_s = edges * iters / dt
     print(
-        f"# {iters} steps ({dispatches} dispatches × {k}) in {dt:.2f}s → "
-        f"{scen_per_s:.1f} scen/s, {edges_per_s/1e6:.1f}M msg-edges/s "
-        f"(train fwd+bwd+adam)",
+        f"# {iters} steps in {dt:.2f}s → {scen_per_s:.1f} scen/s, "
+        f"{edges_per_s/1e6:.1f}M msg-edges/s (train fwd+bwd+adam+metrics)",
         file=sys.stderr,
     )
     print(

@@ -1,6 +1,7 @@
 """Tests for forecasting metrics and the packed loader."""
 
 import numpy as np
+import pytest
 
 from lanegcn_tpu.config import Config, PackConfig
 from lanegcn_tpu.data.dataset import PackedLoader, SyntheticDataset
@@ -64,3 +65,25 @@ def test_packed_loader_process_sharding():
         seen.append(set(loader._epoch_order(0).tolist()))
     assert seen[0].isdisjoint(seen[1])
     assert seen[0] | seen[1] == set(range(8))
+
+
+def test_step_lr_matches_reference_semantics():
+    """Piecewise-constant lr by fractional epoch (reference utils.py:165-177)."""
+    import jax.numpy as jnp
+
+    from lanegcn_tpu.train.optimizer import step_lr
+
+    lr_fn = step_lr([1e-3, 1e-4], [32.0])
+    assert float(lr_fn(0.0)) == pytest.approx(1e-3)
+    assert float(lr_fn(31.999)) == pytest.approx(1e-3)
+    assert float(lr_fn(32.0)) == pytest.approx(1e-4)
+    assert float(lr_fn(35.5)) == pytest.approx(1e-4)
+    # Multiple boundaries.
+    lr3 = step_lr([1.0, 0.1, 0.01], [2.0, 4.0])
+    assert float(lr3(1.0)) == pytest.approx(1.0)
+    assert float(lr3(3.0)) == pytest.approx(0.1)
+    assert float(lr3(4.0)) == pytest.approx(0.01)
+    # Traced scalar input works.
+    import jax
+
+    assert float(jax.jit(lr_fn)(jnp.float32(33.0))) == pytest.approx(1e-4)
