@@ -89,6 +89,10 @@ def cmd_train(args):
     bundle = get_model(args.model, config)
     config = bundle.config  # model factories may adjust (e.g. AdamW)
     dataset = _parse_data(args.data, args.model)
+    if args.rot_aug:
+        from lanegcn_tpu.data.augment import RotationAugment
+
+        dataset = RotationAugment(dataset, seed=config.train.seed)
     loader = _make_loader(dataset, config, args.model, shuffle=True, seed=config.train.seed)
     steps_per_epoch = loader.steps_per_epoch()
 
@@ -148,7 +152,7 @@ def cmd_train(args):
                   _parse_data(args.val_data, args.model), eval_step)
 
 
-def _run_eval(config, bundle, params, dataset, eval_step=None):
+def _run_eval(config, bundle, params, dataset, eval_step=None, submission=None):
     import jax
     import jax.numpy as jnp
 
@@ -168,6 +172,11 @@ def _run_eval(config, bundle, params, dataset, eval_step=None):
         gts.append(g)
     preds = np.concatenate(preds, 0)
     gts = np.concatenate(gts, 0)
+    if submission:
+        from lanegcn_tpu.eval import write_submission
+
+        write_submission(submission, preds, np.arange(len(preds)))
+        print(f"wrote submission to {submission}")
     metrics = evaluate_predictions(preds, gts)
     print(f"validation: {len(preds)} scenarios in {time.time() - t0:.1f}s")
     for k, v in metrics.items():
@@ -197,7 +206,7 @@ def cmd_eval(args):
         ck = load_checkpoint(args.weight)
         params = load_pretrain(params, ck["params"])
         print(f"loaded {args.weight}")
-    _run_eval(config, bundle, params, dataset)
+    _run_eval(config, bundle, params, dataset, submission=args.submission)
 
 
 def cmd_preprocess(args):
@@ -233,6 +242,8 @@ def main(argv=None):
     pt.add_argument("--save-dir", default=None)
     pt.add_argument("--resume", default=None)
     pt.add_argument("--display-every", type=int, default=10)
+    pt.add_argument("--rot-aug", action="store_true",
+                    help="random rotation augmentation (reference rot_aug)")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("eval")
@@ -240,6 +251,8 @@ def main(argv=None):
     pe.add_argument("--data", default="synthetic:64")
     pe.add_argument("--weight", default=None)
     pe.add_argument("--batch-size", type=int, default=8)
+    pe.add_argument("--submission", default=None,
+                    help="write a competition submission file (h5/npz)")
     pe.set_defaults(fn=cmd_eval)
 
     pp = sub.add_parser("preprocess")

@@ -68,6 +68,22 @@ def dilated_nbrs(u: np.ndarray, v: np.ndarray, num_nodes: int, num_scales: int):
     return out
 
 
+def dilated_nbrs2(u: np.ndarray, v: np.ndarray, num_nodes: int, scales: Sequence[int]):
+    """Explicit-scale variant: repeated A*A₀ products, emitting scales from
+    the given list (reference dilated_nbrs2 data.py:537-552; used when
+    config["scales"] overrides the power-of-two dilation)."""
+    data = np.ones(len(u), bool)
+    csr = sparse.csr_matrix((data, (u, v)), shape=(num_nodes, num_nodes))
+    mat = csr
+    out = []
+    for i in range(1, max(scales)):
+        mat = mat * csr
+        if i + 1 in scales:
+            coo = mat.tocoo()
+            out.append((coo.row.astype(np.int32), coo.col.astype(np.int32)))
+    return out
+
+
 def _pairs_matrix(pairs: np.ndarray, num_lanes: int) -> np.ndarray:
     mat = np.zeros((num_lanes, num_lanes), np.float32)
     if len(pairs):
@@ -128,6 +144,7 @@ def build_lane_graph(
     num_scales: int = 6,
     cross_dist: float = 6.0,
     cross_angle: Optional[float] = None,
+    scales: Optional[Sequence[int]] = None,
 ) -> Dict:
     """Sequence of Lane records → node-level graph dict.
 
@@ -216,10 +233,17 @@ def build_lane_graph(
     graph["pre"] = [pre0]
     graph["suc"] = [suc0]
     if num_nodes > 0:
-        for (du, dv) in dilated_nbrs(pre0["u"], pre0["v"], num_nodes, num_scales):
-            graph["pre"].append({"u": du, "v": dv})
-        for (du, dv) in dilated_nbrs(suc0["u"], suc0["v"], num_nodes, num_scales):
-            graph["suc"].append({"u": du, "v": dv})
+        if scales is not None:
+            # Explicit dilation list (reference data.py:356-358).
+            for (du, dv) in dilated_nbrs2(pre0["u"], pre0["v"], num_nodes, scales):
+                graph["pre"].append({"u": du, "v": dv})
+            for (du, dv) in dilated_nbrs2(suc0["u"], suc0["v"], num_nodes, scales):
+                graph["suc"].append({"u": du, "v": dv})
+        else:
+            for (du, dv) in dilated_nbrs(pre0["u"], pre0["v"], num_nodes, num_scales):
+                graph["pre"].append({"u": du, "v": dv})
+            for (du, dv) in dilated_nbrs(suc0["u"], suc0["v"], num_nodes, num_scales):
+                graph["suc"].append({"u": du, "v": dv})
     else:
         empty = {"u": np.zeros(0, np.int32), "v": np.zeros(0, np.int32)}
         graph["pre"] += [dict(empty) for _ in range(num_scales - 1)]

@@ -62,3 +62,34 @@ def evaluate_predictions(
     out.update(forecasting_metrics(preds, gts, k=6, miss_threshold=miss_threshold))
     out.update(forecasting_metrics(preds, gts, k=1, miss_threshold=miss_threshold))
     return out
+
+
+def write_submission(
+    path: str,
+    preds: np.ndarray,  # [B, K, T, 2] world frame
+    seq_ids: np.ndarray,  # [B] scenario ids
+    probabilities: np.ndarray | None = None,  # [B, K]
+) -> None:
+    """Competition submission file (reference test.py:110-113 uses
+    argoverse's generate_forecasting_h5). Writes the same layout: one
+    [B*K*T, 5] table of (seq_id, mode, x, y, probability) rows under
+    'argoverse_forecasting', h5 when h5py is available, else .npz."""
+    preds = np.asarray(preds, np.float32)
+    b, k, t = preds.shape[0], preds.shape[1], preds.shape[2]
+    if probabilities is None:
+        probabilities = np.full((b, k), 1.0 / k, np.float32)
+    rows = np.zeros((b * k * t, 5), np.float32)
+    rows[:, 0] = np.repeat(np.asarray(seq_ids, np.float32), k * t)
+    rows[:, 1] = np.tile(np.repeat(np.arange(k, dtype=np.float32), t), b)
+    rows[:, 2:4] = preds.reshape(-1, 2)
+    rows[:, 4] = np.repeat(np.asarray(probabilities, np.float32).reshape(-1), t)
+    try:
+        import h5py
+
+        with h5py.File(path if path.endswith(".h5") else path + ".h5", "w") as f:
+            f.create_dataset("argoverse_forecasting", data=rows, compression="gzip")
+    except ImportError:
+        np.savez_compressed(
+            path if path.endswith(".npz") else path + ".npz",
+            argoverse_forecasting=rows,
+        )

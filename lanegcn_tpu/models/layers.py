@@ -134,6 +134,110 @@ class Conv1dBlock(nn.Module):
         return y
 
 
+class Conv2dBlock(nn.Module):
+    """2-D conv + GN + optional ReLU (reference layers.py:15-37, legacy
+    raster path). Channels-last [N, H, W, C]."""
+
+    n_out: int
+    kernel_size: int = 3
+    stride: int = 1
+    ng: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n_in = x.shape[-1]
+        k = self.kernel_size
+        w = self.param(
+            "kernel", torch_uniform_init(n_in * k * k), (k, k, n_in, self.n_out)
+        )
+        pad = (k - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = GroupNorm(self.ng, name="norm")(y)
+        if self.act:
+            y = nn.relu(y)
+        return y
+
+
+class PostRes(nn.Module):
+    """2-D residual block (reference layers.py:91-139, legacy raster path)."""
+
+    n_out: int
+    stride: int = 1
+    ng: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n_in = x.shape[-1]
+
+        def conv(x, w, stride):
+            pad = (w.shape[0] - 1) // 2
+            return jax.lax.conv_general_dilated(
+                x,
+                w,
+                window_strides=(stride, stride),
+                padding=[(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        w1 = self.param("conv1_kernel", torch_uniform_init(n_in * 9), (3, 3, n_in, self.n_out))
+        w2 = self.param(
+            "conv2_kernel", torch_uniform_init(self.n_out * 9), (3, 3, self.n_out, self.n_out)
+        )
+        y = conv(x.astype(self.dtype), w1.astype(self.dtype), self.stride)
+        y = GroupNorm(self.ng, name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(y, w2.astype(self.dtype), 1)
+        y = GroupNorm(self.ng, name="bn2")(y)
+        if self.stride != 1 or self.n_out != n_in:
+            wd = self.param("downsample_kernel", torch_uniform_init(n_in), (1, 1, n_in, self.n_out))
+            x = conv(x.astype(self.dtype), wd.astype(self.dtype), self.stride)
+            x = GroupNorm(self.ng, name="downsample_norm")(x)
+        y = y + x
+        return nn.relu(y) if self.act else y
+
+
+class Null(nn.Module):
+    """Identity (reference layers.py:241-246)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return x
+
+
+class EncodeDist(nn.Module):
+    """Signed-log distance encoder (reference lanegcn.py:548-572 — defined
+    but unused by the reference Net; provided for parity of surface)."""
+
+    n: int
+    linear: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, dist: jax.Array) -> jax.Array:
+        x, y = dist[:, :1], dist[:, 1:]
+        enc = jnp.concatenate(
+            [
+                jnp.sign(x) * jnp.log(jnp.abs(x) + 1.0),
+                jnp.sign(y) * jnp.log(jnp.abs(y) + 1.0),
+            ],
+            axis=1,
+        )
+        enc = nn.relu(Dense(self.n, dtype=self.dtype, name="dense")(enc))
+        if self.linear:
+            enc = Dense(self.n, dtype=self.dtype, name="out")(enc)
+        return enc
+
+
 class Res1d(nn.Module):
     """1-D conv residual block (reference layers.py:142-190)."""
 
