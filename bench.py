@@ -96,7 +96,10 @@ def main():
         file=sys.stderr,
     )
 
-    net = LaneGCN(config.model)
+    # bf16 compute (params/normalization fp32): the production TPU config —
+    # 3.4x over fp32 at this size; convergence parity covered by
+    # tests/test_training.py::test_small_model_overfits_bf16.
+    net = LaneGCN(config.model, dtype=jnp.bfloat16)
     params = net.init(jax.random.PRNGKey(0), batches[0])["params"]
     tx, lr_fn = make_optimizer(config.train)
     opt_state = tx.init(params)
@@ -122,7 +125,7 @@ def main():
     edges_per_s = edges * iters / dt
     print(
         f"# {iters} steps in {dt:.2f}s → {scen_per_s:.1f} scen/s, "
-        f"{edges_per_s/1e6:.1f}M msg-edges/s (train fwd+bwd+adam+metrics)",
+        f"{edges_per_s/1e6:.1f}M msg-edges/s (bf16 train fwd+bwd+adam+metrics)",
         file=sys.stderr,
     )
     print(

@@ -101,6 +101,11 @@ def cmd_train(args):
         sample = jax.tree.map(jnp.asarray, b)
         break
     net = bundle.net
+    if args.bf16:
+        import dataclasses as _dc
+        import jax.numpy as _jnp
+
+        net = _dc.replace(net, dtype=_jnp.bfloat16)
     params = net.init(jax.random.PRNGKey(config.train.seed), sample)["params"]
     tx, lr_fn = make_optimizer(config.train)
     opt_state = tx.init(params)
@@ -244,6 +249,8 @@ def main(argv=None):
     pt.add_argument("--display-every", type=int, default=10)
     pt.add_argument("--rot-aug", action="store_true",
                     help="random rotation augmentation (reference rot_aug)")
+    pt.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute (fp32 params/normalization)")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("eval")

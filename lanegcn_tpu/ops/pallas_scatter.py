@@ -1,0 +1,97 @@
+"""Pallas TPU kernel: block-parallel segment-sum over destination-sorted edges.
+
+The LaneConv/Att aggregation is `out[u] += msg[e]` (reference `index_add_`,
+lanegcn.py:337,703). XLA's generic scatter-add serializes updates; when edges
+are pre-sorted by destination (the packer can emit this order), destinations
+tile into contiguous blocks and the reduction becomes an MXU matmul per
+block: a run-membership one-hot [E_blk, rows] contracted with the message
+rows [E_blk, C], accumulated entirely in VMEM — one HBM write per output row
+instead of one read-modify-write per edge.
+
+ops.scatter.scatter_add remains the general-case default; this kernel is the
+speed-of-light path when the sorted invariant holds. Deterministic by
+construction either way.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def sorted_segment_sum(
+    data: jax.Array,  # [E, C] messages, sorted by destination
+    seg_ids: jax.Array,  # [E] int32 destinations, non-decreasing; >= num_segments drops
+    num_segments: int,
+    block_rows: int = 128,
+    max_edges_per_block: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Segment-sum for destination-sorted edges.
+
+    max_edges_per_block bounds the edge window each destination block reads
+    (must cover the densest block; defaults to E — always correct). Edges
+    whose window spills into a neighbor block are masked by the per-block
+    edge count, so overlap is harmless.
+    """
+    e, c = data.shape
+    num_blocks = pl.cdiv(num_segments, block_rows)
+    mepb = max_edges_per_block or e
+
+    block_of_edge = seg_ids // block_rows
+    block_starts = jnp.searchsorted(
+        block_of_edge, jnp.arange(num_blocks + 1, dtype=seg_ids.dtype)
+    ).astype(jnp.int32)
+    local_row = (seg_ids - block_of_edge * block_rows).astype(jnp.int32)
+
+    # Pad so every window read stays in bounds.
+    data_p = jnp.pad(data, ((0, mepb), (0, 0)))
+    local_p = jnp.pad(local_row, (0, mepb), constant_values=block_rows)[:, None]
+
+    def kernel(starts_ref, local_ref, data_ref, out_ref):
+        b = pl.program_id(0)
+        start = starts_ref[b]
+        num = starts_ref[b + 1] - start
+
+        rows = data_ref[pl.ds(start, mepb), :]  # [mepb, C]
+        loc = local_ref[pl.ds(start, mepb), :]  # [mepb, 1]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (mepb, 1), 0)
+        valid = pos < num
+        onehot = (
+            (loc == jax.lax.broadcasted_iota(jnp.int32, (mepb, block_rows), 1)) & valid
+        ).astype(rows.dtype)
+        out_ref[:, :] = jax.lax.dot_general(
+            onehot,
+            rows,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # local ids (windowed reads)
+            pl.BlockSpec(memory_space=pl.ANY),  # messages (windowed reads)
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, c), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((int(num_blocks) * block_rows, c), data.dtype),
+        interpret=interpret,
+    )(block_starts, local_p, data_p)
+    return out[:num_segments]
+
+
+def sort_edges_by_destination(u, v, mask, num_segments):
+    """Host/device helper: stable-sort an EdgeSet's arrays by destination,
+    routing masked edges to the end (seg id = num_segments)."""
+    key = jnp.where(mask, u, num_segments)
+    order = jnp.argsort(key, stable=True)
+    return key[order], v[order], mask[order], order

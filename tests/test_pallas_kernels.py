@@ -1,0 +1,56 @@
+"""Pallas kernel correctness (interpret mode on CPU) vs scatter_add."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lanegcn_tpu.ops import scatter_add
+from lanegcn_tpu.ops.pallas_scatter import sort_edges_by_destination, sorted_segment_sum
+
+
+@pytest.mark.parametrize("n,e,c", [(256, 1000, 128), (130, 77, 8)])
+def test_sorted_segment_sum_matches_scatter(n, e, c):
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(e, c)).astype(np.float32)
+    seg = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+
+    got = sorted_segment_sum(
+        jnp.array(data), jnp.array(seg), n, block_rows=128, interpret=True
+    )
+    expect = scatter_add(jnp.array(data), jnp.array(seg), n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-5, atol=1e-5)
+
+
+def test_sorted_segment_sum_drops_out_of_range():
+    data = jnp.ones((4, 8))
+    seg = jnp.array([0, 1, 5, 5], jnp.int32)  # 5 >= num_segments → dropped
+    out = sorted_segment_sum(data, seg, 4, block_rows=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out)[0], 1.0)
+    np.testing.assert_allclose(np.asarray(out)[2:], 0.0)
+
+
+def test_sorted_segment_sum_bounded_window():
+    """A tight max_edges_per_block still sums correctly when it covers the
+    densest block."""
+    rng = np.random.default_rng(1)
+    n, c = 256, 16
+    # ≤ 3 edges per destination → window of 3*128 covers any 128-row block.
+    seg = np.sort(np.repeat(np.arange(n), 3)[: n * 3]).astype(np.int32)
+    data = rng.normal(size=(len(seg), c)).astype(np.float32)
+    got = sorted_segment_sum(
+        jnp.array(data), jnp.array(seg), n, block_rows=128,
+        max_edges_per_block=3 * 128, interpret=True,
+    )
+    expect = scatter_add(jnp.array(data), jnp.array(seg), n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-5, atol=1e-5)
+
+
+def test_sort_edges_by_destination_helper():
+    u = jnp.array([5, 1, 3, 2], jnp.int32)
+    v = jnp.array([10, 11, 12, 13], jnp.int32)
+    mask = jnp.array([True, True, False, True])
+    su, sv, sm, order = sort_edges_by_destination(u, v, mask, 8)
+    assert su.tolist() == [1, 2, 5, 8]  # masked edge routed to seg 8 at the end
+    assert sv.tolist() == [11, 13, 10, 12]
+    assert sm.tolist() == [True, True, True, False]

@@ -82,3 +82,25 @@ def test_multi_step_dispatch_equals_sequential():
         float(m2["num_reg"]),
         float(m1["num_reg"]) * 0 + float(m2["num_reg"]),  # finite sanity
     )
+
+
+def test_small_model_overfits_bf16():
+    """bf16 compute must train comparably to fp32 (justifies the bench/prod
+    default of bfloat16 matmuls with fp32 params + normalization)."""
+    import dataclasses
+
+    from lanegcn_tpu.models.lanegcn import LaneGCN
+    from lanegcn_tpu.train.optimizer import make_optimizer
+
+    cfg = Config(model=SMALL_MODEL, pack=SMALL_PACK)
+    batches = _batches(cfg)
+    net = LaneGCN(cfg.model, dtype=jnp.bfloat16)
+    params = net.init(jax.random.PRNGKey(0), batches[0])["params"]
+    tx, lr_fn = make_optimizer(cfg.train)
+    opt = tx.init(params)
+    step = make_train_step(cfg, net, tx, lr_fn)
+    losses = []
+    for i in range(60):
+        params, opt, m = step(params, opt, batches[i % 2], i / 100.0)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
