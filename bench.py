@@ -13,6 +13,7 @@ Run alone — the axon TPU tunnel admits one process at a time.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -128,6 +129,23 @@ def main():
         f"{edges_per_s/1e6:.1f}M msg-edges/s (bf16 train fwd+bwd+adam+metrics)",
         file=sys.stderr,
     )
+    # Optional: inference throughput (reference val pass: 39,472 scen in
+    # ~59-70 s on 4 GPUs ≈ 600 scen/s aggregate — misc/train_log.txt).
+    # Off by default: the eval program compiles slowly on this backend and
+    # the driver's bench run must stay fast.
+    if os.environ.get("BENCH_INFER") == "1":
+        from lanegcn_tpu.train.loop import make_eval_step
+
+        eval_step = make_eval_step(config, net)
+        out, m = eval_step(params, batches[0])
+        jax.block_until_ready(m["loss"])
+        t0 = time.time()
+        for i in range(iters):
+            out, m = eval_step(params, batches[i % num_batches])
+        jax.block_until_ready(m["loss"])
+        infer_per_s = scen_per_batch * iters / (time.time() - t0)
+        print(f"# inference: {infer_per_s:.0f} scen/s (bf16 fwd+loss+metrics)", file=sys.stderr)
+
     print(
         json.dumps(
             {

@@ -99,6 +99,7 @@ class PackedLoader:
         drop_stats: Optional[list] = None,
         packer=None,
         scen_per_pack: Optional[int] = None,
+        pack_workers: int = 1,
     ):
         """packer: (scenarios, config) → (batch, stats); defaults to the
         LaneGCN pack_batch. For LaneRCNN pass a pack_roi_batch wrapper."""
@@ -114,6 +115,7 @@ class PackedLoader:
             lambda scens, cfg: pack_batch(scens, cfg.pack, cfg.model)
         )
         self.scen_per_pack = scen_per_pack or config.pack.max_scenarios
+        self.pack_workers = pack_workers
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -124,27 +126,49 @@ class PackedLoader:
         return order[self.process_index :: self.process_count]
 
     def epoch(self, epoch: int = 0) -> Iterator:
-        """Yield packed batches (numpy leaves) for one epoch."""
+        """Yield packed batches (numpy leaves) for one epoch.
+
+        With pack_workers > 1, groups are fetched+packed by a thread pool in
+        order-preserving fashion (numpy/C kernels release the GIL, so 2-4
+        workers keep a fast device fed)."""
         order = self._epoch_order(epoch)
         scen_per_pack = self.scen_per_pack
+        groups = [
+            order[i : i + scen_per_pack].tolist()
+            for i in range(0, len(order), scen_per_pack)
+        ]
+
+        def build(group_idcs):
+            group = [self.dataset[int(i)] for i in group_idcs]
+            batch, stats = self.packer(group, self.config)
+            if self.drop_stats is not None:
+                self.drop_stats.append(stats)
+            return batch
+
+        if self.pack_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.pack_workers) as pool:
+                pending = []
+                it = iter(groups)
+                for _ in range(self.prefetch + self.pack_workers):
+                    g = next(it, None)
+                    if g is not None:
+                        pending.append(pool.submit(build, g))
+                while pending:
+                    fut = pending.pop(0)
+                    g = next(it, None)
+                    if g is not None:
+                        pending.append(pool.submit(build, g))
+                    yield fut.result()
+            return
+
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
         def worker():
-            group: List[Dict] = []
-            for idx in order:
-                group.append(self.dataset[int(idx)])
-                if len(group) == scen_per_pack:
-                    batch, stats = self.packer(group, self.config)
-                    if self.drop_stats is not None:
-                        self.drop_stats.append(stats)
-                    q.put(batch)
-                    group = []
-            if group:
-                batch, stats = self.packer(group, self.config)
-                if self.drop_stats is not None:
-                    self.drop_stats.append(stats)
-                q.put(batch)
+            for g in groups:
+                q.put(build(g))
             q.put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)

@@ -87,3 +87,16 @@ def test_step_lr_matches_reference_semantics():
     import jax
 
     assert float(jax.jit(lr_fn)(jnp.float32(33.0))) == pytest.approx(1e-4)
+
+
+def test_packed_loader_thread_pool_matches_single():
+    cfg = Config(pack=PackConfig(max_scenarios=2, max_actors=64, max_nodes=4096,
+        max_edges_scale0=8192, max_edges_dilated=8192, max_edges_lr=2048,
+        max_a2m_edges=8192, max_m2a_edges=8192, max_a2a_edges=4096))
+    ds = SyntheticDataset(6, num_corridors=1, num_actors=4)
+    b1 = list(PackedLoader(ds, cfg, shuffle=True, seed=9).epoch(0))
+    b2 = list(PackedLoader(ds, cfg, shuffle=True, seed=9, pack_workers=3).epoch(0))
+    assert len(b1) == len(b2) == 3
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a.actors.feats, b.actors.feats)
+        np.testing.assert_array_equal(a.graph.ctrs, b.graph.ctrs)
