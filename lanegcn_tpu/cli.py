@@ -55,20 +55,33 @@ def _make_loader(dataset, config, model: str, **kw):
 
 
 def _default_config(args):
-    from lanegcn_tpu.config import Config, PackConfig, TrainConfig
+    from lanegcn_tpu.config import Config, PackConfig, RoiPackConfig, TrainConfig
 
+    b = args.batch_size
     pack = PackConfig(
-        max_scenarios=args.batch_size,
-        max_actors=16 * args.batch_size,
-        max_nodes=768 * args.batch_size,
-        max_edges_scale0=832 * args.batch_size,
-        max_edges_dilated=1024 * args.batch_size,
-        max_edges_lr=256 * args.batch_size,
-        max_a2m_edges=1024 * args.batch_size,
-        max_m2a_edges=1024 * args.batch_size,
-        max_a2a_edges=384 * args.batch_size,
+        max_scenarios=b,
+        max_actors=16 * b,
+        max_nodes=768 * b,
+        max_edges_scale0=832 * b,
+        max_edges_dilated=1024 * b,
+        max_edges_lr=256 * b,
+        max_a2m_edges=1024 * b,
+        max_m2a_edges=1024 * b,
+        max_a2a_edges=384 * b,
     )
-    return Config(pack=pack, train=TrainConfig(batch_size=args.batch_size))
+    roi_pack = RoiPackConfig(
+        max_scenarios=b,
+        max_rois=14 * b,
+        max_roi_nodes=1280 * b,
+        max_interest_nodes=224 * b,
+        max_edges_scale0=1664 * b,
+        max_edges_dilated=2048 * b,
+        max_edges_lr=1664 * b,
+        max_a2m_edges=448 * b,
+        max_pool_edges=3328 * b,
+        max_a2r_edges=896 * b,
+    )
+    return Config(pack=pack, roi_pack=roi_pack, train=TrainConfig(batch_size=b))
 
 
 def cmd_train(args):

@@ -106,6 +106,82 @@ def _extract_layer_params(stack_params: Dict, i: int) -> Dict:
     }
 
 
+def partition_edge_set_by_source(
+    edges: EdgeSet, num_src: int, num_shards: int
+) -> EdgeSet:
+    """Single EdgeSet variant of partition_edges_by_source (u stays global,
+    v becomes source-shard-local; leading shard axis [G, E_shard])."""
+    return partition_edges_by_source({"e": edges}, num_src, num_shards)["e"]
+
+
+def _att_apply_sharded(
+    params: Dict,
+    agts_local: jax.Array,  # [A/G, C_a]
+    agt_ctrs_full: jax.Array,  # [A, 2] (replicated — tiny)
+    ctx_local: jax.Array,  # [Cn/G, C_c]
+    ctx_ctrs_local: jax.Array,  # [Cn/G, 2]
+    edges: EdgeSet,  # u → global agt rows, v → local ctx rows
+    num_agts: int,
+    axis: str,
+) -> jax.Array:
+    """One Att layer (reference lanegcn.py:662-710) with destinations (agts)
+    and sources (ctx) row-sharded over `axis`; fusion edges partitioned by
+    source shard. Per layer: one all_gather of the query rows ([A, C] — small)
+    and one psum_scatter of the edge-message partial sums."""
+
+    def linear_gn(p, x, act=True):
+        y = jnp.dot(x, p["linear"]["kernel"])
+        y = group_norm(y, p["norm"]["weight"], p["norm"]["bias"], 1)
+        return jax.nn.relu(y) if act else y
+
+    res = agts_local
+
+    # Dense per-destination query, computed shard-locally then gathered so
+    # edges (indexed by global u) can read any destination's query row.
+    query_local = linear_gn(params["query"], agts_local)
+    query_full = jax.lax.all_gather(query_local, axis, tiled=True)  # [A, C]
+
+    d = masked_gather(agt_ctrs_full, edges.u, edges.mask) - masked_gather(
+        ctx_ctrs_local, edges.v, edges.mask
+    )
+    dist = jax.nn.relu(
+        jnp.dot(d, params["dist_dense"]["kernel"]) + params["dist_dense"]["bias"]
+    )
+    dist = linear_gn(params["dist_out"], dist)
+
+    query_e = masked_gather(query_full, edges.u, edges.mask)
+    ctx_e = masked_gather(ctx_local, edges.v, edges.mask)
+    edge_in = jnp.concatenate([dist, query_e, ctx_e], axis=-1)
+    edge_out = linear_gn(params["ctx_hidden"], edge_in)
+    edge_out = jnp.dot(edge_out, params["ctx_out"]["kernel"])
+
+    partial = scatter_add(edge_out, edges.u, num_agts, mask=edges.mask)
+    msgs_local = jax.lax.psum_scatter(partial, axis, scatter_dimension=0, tiled=True)
+
+    agts = jnp.dot(agts_local, params["agt"]["kernel"]) + msgs_local
+    agts = jax.nn.relu(group_norm(agts, params["norm"]["weight"], params["norm"]["bias"], 1))
+    agts = linear_gn(params["linear"], agts, act=False)
+    return jax.nn.relu(agts + res)
+
+
+def make_sharded_att(mesh: Mesh, num_agts: int, axis: str = "graph"):
+    """Returns fn(att_params, agts [A, C_a], agt_ctrs [A, 2], ctx [Cn, C_c],
+    ctx_ctrs [Cn, 2], sharded_edges) → [A, C_a]: one fusion Att layer
+    edge-partitioned over the mesh `axis`; params = models.fusion.Att pytree."""
+
+    def per_shard(params, agts, agt_ctrs, ctx, ctx_ctrs, edges_sharded):
+        edges = jax.tree.map(lambda x: x[0], edges_sharded)
+        return _att_apply_sharded(
+            params, agts, agt_ctrs, ctx, ctx_ctrs, edges, num_agts, axis
+        )
+
+    in_specs = (P(), P(axis), P(), P(axis), P(axis), P(axis))
+    shard_fn = jax.shard_map(
+        per_shard, mesh=mesh, in_specs=in_specs, out_specs=P(axis), check_vma=False
+    )
+    return jax.jit(shard_fn)
+
+
 def make_sharded_lane_conv(
     cfg: ModelConfig,
     mesh: Mesh,

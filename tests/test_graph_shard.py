@@ -69,3 +69,39 @@ def test_partition_edges_by_source_covers_all_edges():
                 )
             )
         assert got == orig, nm
+
+
+def test_sharded_att_matches_unsharded():
+    """Graph-sharded Att (edge partition + psum_scatter) == models.fusion.Att."""
+    from jax.sharding import Mesh
+
+    from lanegcn_tpu.graph import EdgeSet
+    from lanegcn_tpu.models.fusion import Att
+    from lanegcn_tpu.parallel.graph_shard import (
+        make_sharded_att,
+        partition_edge_set_by_source,
+    )
+
+    rng = np.random.default_rng(1)
+    a, cn, e_cap, e_val = 64, 128, 256, 200
+    agts = jnp.asarray(rng.normal(size=(a, 128)).astype(np.float32))
+    agt_ctrs = jnp.asarray(rng.uniform(-10, 10, (a, 2)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(cn, 128)).astype(np.float32))
+    ctx_ctrs = jnp.asarray(rng.uniform(-10, 10, (cn, 2)).astype(np.float32))
+    u = rng.integers(0, a, e_cap).astype(np.int32)
+    v = rng.integers(0, cn, e_cap).astype(np.int32)
+    mask = np.zeros(e_cap, bool)
+    mask[:e_val] = True
+    edges = EdgeSet(u=jnp.asarray(u), v=jnp.asarray(v), mask=jnp.asarray(mask))
+
+    att = Att(128, 128)
+    params = att.init(jax.random.PRNGKey(0), agts, agt_ctrs, ctx, ctx_ctrs, edges)["params"]
+    expect = att.apply({"params": params}, agts, agt_ctrs, ctx, ctx_ctrs, edges)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("graph",))
+    sharded_edges = jax.tree.map(
+        jnp.asarray, partition_edge_set_by_source(edges, cn, 4)
+    )
+    fn = make_sharded_att(mesh, a)
+    got = fn(params, agts, agt_ctrs, ctx, ctx_ctrs, sharded_edges)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=2e-4, atol=2e-4)
