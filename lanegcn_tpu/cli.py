@@ -78,7 +78,7 @@ def _default_config(args):
         max_edges_dilated=2048 * b,
         max_edges_lr=1664 * b,
         max_a2m_edges=448 * b,
-        max_pool_edges=3328 * b,
+        max_pool_edges=13312 * b,
         max_a2r_edges=896 * b,
     )
     return Config(pack=pack, roi_pack=roi_pack, train=TrainConfig(batch_size=b))

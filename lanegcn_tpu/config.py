@@ -88,7 +88,7 @@ class RoiPackConfig:
     max_edges_dilated: int = 20480
     max_edges_lr: int = 16384
     max_a2m_edges: int = 4096    # agent → RoI-node (≤5 m)
-    max_pool_edges: int = 32768  # RoI-node ↔ global-node (≤6 m)
+    max_pool_edges: int = 131072  # RoI-node ↔ global-node (≤6 m; ~10 per node)
     max_a2r_edges: int = 8192    # traj-point → interest-node (≤6 m)
 
     def edge_capacity(self, relation: str) -> int:

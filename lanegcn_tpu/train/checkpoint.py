@@ -45,6 +45,30 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return pickle.load(f)
 
 
+def save_checkpoint_orbax(path: str, params, opt_state, step: int, epoch: float) -> None:
+    """Orbax-backed checkpoint: handles sharded (multi-host) arrays natively —
+    each host writes its shards; restore re-shards to the current mesh."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "params": params,
+        "opt_state": opt_state,
+        "meta": {"step": int(step), "epoch": float(epoch)},
+    }
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, template) -> Dict[str, Any]:
+    """Restore an orbax checkpoint; template = matching pytree of arrays (or
+    ShapeDtypeStructs with shardings) to restore onto."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)
+
+
 def load_pretrain(params, pretrain_params):
     """Shape-checked partial restore (reference utils.py:51-59): copy every
     leaf whose path exists in both trees with matching shape."""

@@ -100,3 +100,51 @@ def test_packed_loader_thread_pool_matches_single():
     for a, b in zip(b1, b2):
         np.testing.assert_array_equal(a.actors.feats, b.actors.feats)
         np.testing.assert_array_equal(a.graph.ctrs, b.graph.ctrs)
+
+
+def test_preprocess_shard_train_roundtrip(tmp_path):
+    """Offline preprocess → pickle shards → ShardDataset → packed training
+    batch (the real-data flow, reference preprocess_data.py → ArgoDataset)."""
+    from lanegcn_tpu.cli import main as cli_main
+    from lanegcn_tpu.data.dataset import ShardDataset
+
+    out = str(tmp_path / "shards")
+    cli_main(["preprocess", "--data", "synthetic:5:1:4", "--out", out,
+              "--shard-size", "2"])
+    ds = ShardDataset(out)
+    assert len(ds) == 5
+    scen = ds[3]
+    assert scen["feats"].shape[1:] == (20, 3)
+    assert scen["graph"]["num_nodes"] > 0
+
+    cfg = Config(pack=PackConfig(max_scenarios=2, max_actors=64, max_nodes=4096,
+        max_edges_scale0=8192, max_edges_dilated=8192, max_edges_lr=2048,
+        max_a2m_edges=8192, max_m2a_edges=8192, max_a2a_edges=4096))
+    loader = PackedLoader(ds, cfg, shuffle=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    assert batches[0].actors.mask.any()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from lanegcn_tpu.train.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    params = {"w": jnp.arange(8.0), "b": {"x": jnp.ones((2, 3))}}
+    opt = {"m": jnp.zeros(8)}
+    path = str(tmp_path / "ck")
+    save_checkpoint_orbax(path, params, opt, step=7, epoch=1.5)
+    template = {
+        "params": jax.tree.map(jnp.zeros_like, params),
+        "opt_state": jax.tree.map(jnp.zeros_like, opt),
+        "meta": {"step": 0, "epoch": 0.0},
+    }
+    restored = load_checkpoint_orbax(path, template)
+    assert restored["meta"]["step"] == 7
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), np.arange(8.0))
+    np.testing.assert_array_equal(np.asarray(restored["params"]["b"]["x"]), np.ones((2, 3)))
