@@ -14,7 +14,7 @@ Real-data counterpart of the reference's raw path (reference data.py:107-361):
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Protocol, Sequence, Tuple
+from typing import Dict, List, Optional, Protocol, Sequence
 
 import numpy as np
 

@@ -8,7 +8,7 @@ deltas with validity masks, and world-frame ground-truth futures.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ All host-side numpy/scipy; runs offline or in the input pipeline.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 from scipy import sparse

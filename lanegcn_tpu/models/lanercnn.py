@@ -24,9 +24,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from lanegcn_tpu.config import Config, LossConfig, ModelConfig
+from lanegcn_tpu.config import LossConfig, ModelConfig
 from lanegcn_tpu.graph import EdgeSet, RoiPackedBatch
 from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear
+from lanegcn_tpu.models.lanegcn import smooth_l1
 from lanegcn_tpu.models.map_net import LaneConvStack
 from lanegcn_tpu.ops import masked_gather, scatter_add
 
@@ -316,11 +317,6 @@ class LaneRCNN(nn.Module):
             "pred_goals": goals.astype(jnp.float32),
             "pred_trajs": trajs.astype(jnp.float32),
         }
-
-
-def smooth_l1(x: jax.Array) -> jax.Array:
-    ax = jnp.abs(x)
-    return jnp.where(ax < 1.0, 0.5 * x * x, ax - 0.5)
 
 
 def roi_loss(out: Dict, batch: RoiPackedBatch, cfg: LossConfig) -> Dict[str, jax.Array]:

@@ -19,16 +19,15 @@ verified in tests/test_graph_shard.py on a virtual CPU mesh.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from lanegcn_tpu.config import ModelConfig, relation_names
-from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch
+from lanegcn_tpu.graph import EdgeSet
 from lanegcn_tpu.ops import group_norm, masked_gather, scatter_add
 
 

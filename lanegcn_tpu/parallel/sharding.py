@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lanegcn_tpu.config import Config
 from lanegcn_tpu.graph import PackedBatch
-from lanegcn_tpu.models.lanegcn import LaneGCN, agent_metrics, pred_loss
+from lanegcn_tpu.models.lanegcn import agent_metrics, pred_loss
 from lanegcn_tpu.train.optimizer import apply_lr
 
 

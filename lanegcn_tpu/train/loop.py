@@ -8,13 +8,11 @@ compiled function per bucket.
 
 from __future__ import annotations
 
-import functools
 import time
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Iterable, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from lanegcn_tpu.config import Config
 from lanegcn_tpu.graph import PackedBatch
