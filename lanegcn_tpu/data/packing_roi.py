@@ -61,7 +61,9 @@ def pack_roi_batch(
     # part (fusion edges unused here). Use a PackConfig sized from roi_cfg.
     gcfg = PackConfig(
         max_scenarios=b_cap,
-        max_actors=max(2 * r_cap, 64),
+        # Generous: the global-graph packer must accept every scenario this
+        # packer accepted (its skip would desync offsets — asserted below).
+        max_actors=64 * b_cap,
         max_nodes=m_cap,  # global nodes ≤ Σ roi nodes in practice
         max_edges_scale0=roi_cfg.max_edges_scale0,
         max_edges_dilated=roi_cfg.max_edges_dilated,
