@@ -39,19 +39,23 @@ BASELINE_SCEN_PER_S_PER_CHIP = 235.0 / 4.0  # reference: 4× RTX 5000 aggregate
 
 def bench_pack_config() -> PackConfig:
     # 128 scenarios/pack at realistic sizes (~310 lane nodes, ~12 actors per
-    # scenario): the larger pack amortizes fixed per-step cost — measured
-    # 3.5 ms/step (37k scen/s) vs 3.0 ms at 32 scenarios. Capacities sized
-    # so no edges drop (left/right need ~20k).
+    # scenario): the larger pack amortizes fixed per-step cost. With band
+    # splitting (data/packing.py), every intra-lane pre/suc edge lives in the
+    # [N] band masks, so the pre/suc edge lists hold only the cross-lane
+    # residue (zero on these synthetic corridors — capacity kept small but
+    # nonzero so the residual code path stays in the measured program).
+    # Capacities sized so nothing drops (~40k nodes, 20.4k left/right,
+    # ≤12.6k fusion edges measured).
     return PackConfig(
         max_scenarios=128,
         max_actors=2048,
-        max_nodes=98304,
-        max_edges_scale0=106496,
-        max_edges_dilated=131072,
-        max_edges_lr=32768,
-        max_a2m_edges=131072,
-        max_m2a_edges=131072,
-        max_a2a_edges=49152,
+        max_nodes=49152,
+        max_edges_scale0=4096,
+        max_edges_dilated=4096,
+        max_edges_lr=24576,
+        max_a2m_edges=16384,
+        max_m2a_edges=16384,
+        max_a2a_edges=16384,
     )
 
 
@@ -72,10 +76,14 @@ def make_batches(config: Config, num_batches: int, scen_per_batch: int):
 
 
 def count_edges(batch) -> int:
-    """Total valid message-passing edges per step (LaneConv + fusion)."""
+    """Total valid message-passing edges per step (LaneConv + fusion),
+    including banded intra-lane edges carried by the band masks."""
     n = 0
     for e in batch.graph.edges.values():
         n += int(jnp.sum(e.mask))
+    if batch.graph.bands is not None:
+        for m in batch.graph.bands.values():
+            n += int(jnp.sum(m))
     for e in (batch.fusion.a2m, batch.fusion.m2a, batch.fusion.a2a):
         n += int(jnp.sum(e.mask))
     return n

@@ -137,3 +137,17 @@ def relation_names(num_scales: int = 6) -> Tuple[str, ...]:
         names.append(f"suc{i}")
     names.extend(["left", "right"])
     return tuple(names)
+
+
+def band_shift(name: str) -> int | None:
+    """Packed-index stride of a relation's intra-lane band, or None.
+
+    Lanes are contiguous node runs in pack order, so the intra-lane part of
+    pre/suc at dilation 2^s is exactly v = u ∓ 2^s (pre points backward).
+    left/right have no band structure.
+    """
+    if name.startswith("pre"):
+        return -(1 << int(name[3:]))
+    if name.startswith("suc"):
+        return 1 << int(name[3:])
+    return None

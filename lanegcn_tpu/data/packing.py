@@ -12,7 +12,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from lanegcn_tpu.config import ModelConfig, PackConfig, relation_names
+from lanegcn_tpu.config import ModelConfig, PackConfig, band_shift, relation_names
 from lanegcn_tpu.graph import ActorBatch, EdgeSet, FusionEdges, LaneGraphBatch, PackedBatch
 
 
@@ -48,12 +48,19 @@ def pack_batch(
     scenarios: Sequence[Dict],
     pack_cfg: PackConfig,
     model_cfg: ModelConfig,
+    split_bands: bool = True,
 ) -> Tuple[PackedBatch, Dict[str, int]]:
     """Pack up to pack_cfg.max_scenarios scenarios; returns (batch, stats).
 
     Scenarios that would overflow actor/node capacity are skipped (counted in
     stats["skipped_scenarios"]); overflowing edge lists are truncated with
     per-relation drop counts.
+
+    split_bands: route each pre/suc relation's intra-lane edges
+    (v = u + band_shift(nm); lanes are contiguous node runs, offsets
+    preserved by packing) into a per-node [N] bool band mask instead of the
+    edge list. The model applies bands as a masked roll — no gather/scatter —
+    and the edge lists keep only the irregular (cross-lane) remainder.
     """
     names = relation_names(model_cfg.num_scales)
     b_cap = pack_cfg.max_scenarios
@@ -149,9 +156,20 @@ def pack_batch(
     stats["num_nodes"] = n_off
 
     edges = {}
+    bands = {} if split_bands else None
     for nm in names:
         u = np.concatenate(rel_edges[nm][0]) if rel_edges[nm][0] else np.zeros(0, np.int64)
         v = np.concatenate(rel_edges[nm][1]) if rel_edges[nm][1] else np.zeros(0, np.int64)
+        shift = band_shift(nm) if split_bands else None
+        if shift is not None:
+            # At most one edge per (u, shift) pair exists (dilated adjacency
+            # is deduplicated), so a bool mask over u is an exact encoding.
+            banded = (v - u) == shift
+            mask = np.zeros(n_cap, bool)
+            mask[u[banded]] = True
+            bands[nm] = mask
+            stats[f"banded_{nm}"] = int(banded.sum())
+            u, v = u[~banded], v[~banded]
         edges[nm], dropped = _pad_edges(u, v, pack_cfg.edge_capacity(nm))
         stats[f"dropped_{nm}"] = dropped
 
@@ -179,6 +197,7 @@ def pack_batch(
             node_mask=node_mask,
             node_scen=node_scen,
             edges=edges,
+            bands=bands,
         ),
         fusion=fusion,
         gt_preds=gt_preds,

@@ -69,6 +69,11 @@ class LaneGraphBatch:
     node_mask: jax.Array  # [N] bool
     node_scen: jax.Array  # [N] int32
     edges: Dict[str, EdgeSet]  # relation name (config.relation_names) → edges
+    # Banded intra-lane edges, split out of `edges` by the packer: per pre/suc
+    # relation, bands[nm][u] ⇔ edge (u, u + config.band_shift(nm)) exists.
+    # Consumed as a masked jnp.roll instead of gather/scatter-add; None when
+    # the pack was built without band splitting.
+    bands: Dict[str, jax.Array] | None = None
 
     @property
     def capacity(self) -> int:

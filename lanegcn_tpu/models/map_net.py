@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from lanegcn_tpu.config import ModelConfig, relation_names
+from lanegcn_tpu.config import ModelConfig, band_shift, relation_names
 from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch
 from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear, torch_uniform_init
 from lanegcn_tpu.ops import masked_gather, scatter_add
@@ -35,7 +35,16 @@ class LaneConvStack(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feat: jax.Array, edges: Dict[str, EdgeSet]) -> jax.Array:
+    def __call__(
+        self,
+        feat: jax.Array,
+        edges: Dict[str, EdgeSet],
+        bands: Dict[str, jax.Array] | None = None,
+    ) -> jax.Array:
+        """bands: optional per-relation [N] bool masks of intra-lane edges
+        (v = u + band_shift(nm)); applied as a masked roll — one vector op
+        replacing the gather + scatter-add for the regular majority of
+        pre/suc edges (see data/packing.py split_bands)."""
         n_map = self.cfg.n_map
         names = relation_names(self.cfg.num_scales)
         num_nodes = feat.shape[0]
@@ -49,16 +58,45 @@ class LaneConvStack(nn.Module):
                 torch_uniform_init(n_map),
                 (len(names), n_map, n_map),
             )
-            # All relation transforms in one batched matmul: [R, N, C].
-            h = jnp.einsum(
-                "nc,rcd->rnd",
-                feat.astype(self.dtype),
-                w_rel.astype(self.dtype),
-                preferred_element_type=self.dtype,
-            )
+            # Banded intra-lane pre/suc edges (v = u + 2^s in pack order):
+            # one einsum contracting relation and channel over rolled, masked
+            # copies of feat — temp[u] += Σ_r band_r[u]·(feat[u+d_r] @ W_r).
+            # No [R, N, C] per-relation transform is ever materialized.
+            if bands is not None:
+                band_rel = [
+                    (r, name, band_shift(name))
+                    for r, name in enumerate(names)
+                    if name in bands
+                ]
+                xs = jnp.stack(
+                    [
+                        jnp.where(
+                            bands[name][:, None],
+                            jnp.roll(feat, -shift, axis=0),
+                            0,
+                        )
+                        for (_, name, shift) in band_rel
+                    ],
+                    0,
+                )
+                wb = w_rel[jnp.asarray([r for (r, _, _) in band_rel])]
+                temp = temp + jnp.einsum(
+                    "rnc,rcd->nd",
+                    xs.astype(self.dtype),
+                    wb.astype(self.dtype),
+                    preferred_element_type=self.dtype,
+                )
+            # Irregular edges (left/right + cross-lane pre/suc residue):
+            # gather source rows, per-relation matmul, deterministic
+            # scatter-add — cost scales with edge-list capacity, not N.
             for r, name in enumerate(names):
                 e = edges[name]
-                msg = masked_gather(h[r], e.v, e.mask)
+                src = masked_gather(feat, e.v, e.mask)
+                msg = jnp.matmul(
+                    src.astype(self.dtype),
+                    w_rel[r].astype(self.dtype),
+                    preferred_element_type=self.dtype,
+                )
                 temp = scatter_add(msg, e.u, num_nodes, mask=e.mask, out=temp)
 
             feat = nn.relu(GroupNorm(name=f"norm_{i}")(temp))
@@ -87,4 +125,4 @@ class MapNet(nn.Module):
 
         return LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="fuse"
-        )(feat, graph.edges)
+        )(feat, graph.edges, graph.bands)

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lanegcn_tpu.config import Config
 from lanegcn_tpu.graph import PackedBatch
 from lanegcn_tpu.models.lanegcn import agent_metrics, pred_loss
-from lanegcn_tpu.train.optimizer import apply_lr
+from lanegcn_tpu.train.optimizer import apply_lr, optimizer_step
 
 
 def make_mesh(devices: Sequence[jax.Device] | None = None, data: int | None = None) -> Mesh:
@@ -120,9 +120,8 @@ def make_parallel_train_step(
 
     def train_step(params, opt_state, batch, epoch):
         (_, metrics), grads = jax.value_and_grad(mean_loss, has_aux=True)(params, batch)
-        updates, opt_state = tx.update(grads, opt_state, params)
         lr = lr_fn(epoch)
-        params = jax.tree.map(lambda p, u: p + u, params, apply_lr(updates, lr))
+        params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
         metrics["lr"] = lr
         return params, opt_state, metrics
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from lanegcn_tpu.config import Config
 from lanegcn_tpu.graph import PackedBatch
 from lanegcn_tpu.models.lanegcn import LaneGCN, agent_metrics, pred_loss
-from lanegcn_tpu.train.optimizer import apply_lr, make_optimizer
+from lanegcn_tpu.train.optimizer import make_optimizer, optimizer_step
 
 
 class TrainState:
@@ -54,9 +54,8 @@ def make_train_step(
     @jax.jit
     def train_step(params, opt_state, batch, epoch):
         (_, (losses, out)), grads = jax.value_and_grad(objective, has_aux=True)(params, batch)
-        updates, opt_state = tx.update(grads, opt_state, params)
         lr = lr_fn(epoch)
-        params = jax.tree.map(lambda p, u: p + u, params, apply_lr(updates, lr))
+        params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
         metrics = dict(losses)
         metrics.update(metrics_fn(out, batch))
         metrics["lr"] = lr
@@ -92,9 +91,8 @@ def make_multi_train_step(
             (_, (losses, out)), grads = jax.value_and_grad(objective, has_aux=True)(
                 params, batch
             )
-            updates, opt_state = tx.update(grads, opt_state, params)
             lr = lr_fn(epoch)
-            params = jax.tree.map(lambda p, u: p + u, params, apply_lr(updates, lr))
+            params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
             metrics = dict(losses)
             metrics.update(metrics_fn(out, batch))
             metrics["lr"] = lr

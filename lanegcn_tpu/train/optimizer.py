@@ -11,11 +11,13 @@
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
+from jax.flatten_util import ravel_pytree
 
 from lanegcn_tpu.config import TrainConfig
 
@@ -54,6 +56,72 @@ def _clip_elementwise(low: float, high: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class FusedAdamState(NamedTuple):
+    """Adam moments over one flat parameter buffer."""
+
+    count: jax.Array  # [] int32
+    mu: jax.Array  # [P] float32
+    nu: jax.Array  # [P] float32
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedOptimizer:
+    """optax-compatible (init/update) transformation whose state and math
+    live on ONE flat buffer.
+
+    The model has ~300 parameter leaves; per-leaf optax updates lower to
+    thousands of tiny TPU ops whose fixed per-op cost dominated the train
+    step (measured 3.4 ms of a 5.5 ms step). Flattening turns the whole
+    update into a handful of [P]-wide vector ops. `fused_apply` additionally
+    folds the -lr scale and the parameter add into the flat domain so the
+    train step pays exactly one unravel.
+    """
+
+    init: Callable
+    update: Callable
+    fused_apply: Callable  # (params, grads, state, lr) → (new_params, state)
+
+
+def _make_fused_adam(
+    wd: float, clip: Optional[Tuple[float, float]], b1=0.9, b2=0.999, eps=1e-8
+) -> FusedOptimizer:
+    def direction(flat_g, state, flat_p):
+        """Ascent direction u (caller applies -lr·u), matching
+        optax.scale_by_adam (+ add_decayed_weights) bias-corrected math."""
+        if clip is not None:
+            flat_g = jnp.clip(flat_g, clip[0], clip[1])
+        count = state.count + 1
+        mu = b1 * state.mu + (1 - b1) * flat_g
+        nu = b2 * state.nu + (1 - b2) * jnp.square(flat_g)
+        c = count.astype(jnp.float32)
+        mhat = mu / (1 - b1**c)
+        nuhat = nu / (1 - b2**c)
+        u = mhat / (jnp.sqrt(nuhat) + eps)
+        if wd:
+            u = u + wd * flat_p
+        return u, FusedAdamState(count, mu, nu)
+
+    def init_fn(params):
+        flat, _ = ravel_pytree(params)
+        return FusedAdamState(
+            jnp.zeros((), jnp.int32), jnp.zeros_like(flat), jnp.zeros_like(flat)
+        )
+
+    def update_fn(updates, state, params=None):
+        flat_g, unravel = ravel_pytree(updates)
+        flat_p = ravel_pytree(params)[0] if params is not None else 0.0
+        u, state = direction(flat_g, state, flat_p)
+        return unravel(u), state
+
+    def fused_apply(params, grads, state, lr):
+        flat_p, unravel = ravel_pytree(params)
+        flat_g, _ = ravel_pytree(grads)
+        u, state = direction(flat_g, state, flat_p)
+        return unravel(flat_p - lr * u), state
+
+    return FusedOptimizer(init=init_fn, update=update_fn, fused_apply=fused_apply)
+
+
 def make_optimizer(cfg: TrainConfig) -> Tuple[optax.GradientTransformation, Callable]:
     """Build the optax chain (lr-less) + the lr schedule.
 
@@ -67,10 +135,9 @@ def make_optimizer(cfg: TrainConfig) -> Tuple[optax.GradientTransformation, Call
     if cfg.clip_grads:
         chain.append(_clip_elementwise(cfg.clip_low, cfg.clip_high))
     if cfg.opt in ("adam", "adamw"):
-        chain.append(optax.scale_by_adam())
         wd = cfg.weight_decay if cfg.opt == "adam" else (cfg.weight_decay or 0.01)
-        if wd:
-            chain.append(optax.add_decayed_weights(wd))
+        clip = (cfg.clip_low, cfg.clip_high) if cfg.clip_grads else None
+        return _make_fused_adam(wd or 0.0, clip), lr_fn
     elif cfg.opt == "sgd":
         chain.append(optax.trace(decay=0.9))
     else:
@@ -82,3 +149,14 @@ def make_optimizer(cfg: TrainConfig) -> Tuple[optax.GradientTransformation, Call
 def apply_lr(updates, lr):
     """Scale optimizer updates by -lr (descent)."""
     return jax.tree.map(lambda u: -lr * u, updates)
+
+
+def optimizer_step(tx, params, grads, opt_state, lr):
+    """Apply one optimizer update; prefers the flat fused path when the
+    transformation provides one (FusedOptimizer), else the per-leaf optax
+    path (updates tree scaled by -lr, added to params)."""
+    if hasattr(tx, "fused_apply"):
+        return tx.fused_apply(params, grads, opt_state, lr)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = jax.tree.map(lambda p, u: p + u, params, apply_lr(updates, lr))
+    return params, opt_state

@@ -104,3 +104,49 @@ def test_gradients_flow(cfg, batch, params_and_out):
     # The overwhelming majority of parameters must receive gradient.
     nonzero = sum(1 for l in leaves if l > 0)
     assert nonzero / len(leaves) > 0.9, f"only {nonzero}/{len(leaves)} grads nonzero"
+
+
+def test_band_split_equivalence(cfg, params_and_out):
+    """split_bands=True (masked-roll path) must equal split_bands=False
+    (pure edge-list path) on identical scenarios, and must actually move a
+    majority of pre/suc edges into bands."""
+    net, params, _ = params_and_out
+    scens = [make_synthetic_scenario(seed=i, num_corridors=2, num_actors=8) for i in range(2)]
+    b_band, s_band = pack_batch(scens, cfg.pack, cfg.model, split_bands=True)
+    b_list, s_list = pack_batch(scens, cfg.pack, cfg.model, split_bands=False)
+    assert b_band.graph.bands is not None and b_list.graph.bands is None
+
+    total_banded = sum(v for k, v in s_band.items() if k.startswith("banded_"))
+    total_edges = total_banded + sum(
+        int(np.asarray(b_band.graph.edges[nm].mask).sum())
+        for nm in b_band.graph.edges
+        if nm.startswith(("pre", "suc"))
+    )
+    assert total_banded > 0.5 * total_edges, (total_banded, total_edges)
+
+    # Band mask ∪ residual edge list must reconstruct the unsplit edge set.
+    from lanegcn_tpu.config import band_shift, relation_names
+
+    for nm in relation_names(cfg.model.num_scales):
+        e_full = b_list.graph.edges[nm]
+        m = np.asarray(e_full.mask)
+        full = set(zip(np.asarray(e_full.u)[m].tolist(), np.asarray(e_full.v)[m].tolist()))
+        e_res = b_band.graph.edges[nm]
+        m = np.asarray(e_res.mask)
+        got = set(zip(np.asarray(e_res.u)[m].tolist(), np.asarray(e_res.v)[m].tolist()))
+        shift = band_shift(nm)
+        if shift is not None:
+            for u in np.nonzero(np.asarray(b_band.graph.bands[nm]))[0].tolist():
+                got.add((u, u + shift))
+        assert got == full, nm
+
+    b_band = jax.tree.map(jnp.asarray, b_band)
+    b_list = jax.tree.map(jnp.asarray, b_list)
+    out_band = net.apply({"params": params}, b_band)
+    out_list = net.apply({"params": params}, b_list)
+    np.testing.assert_allclose(
+        np.asarray(out_band["reg"]), np.asarray(out_list["reg"]), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_band["cls"]), np.asarray(out_list["cls"]), rtol=2e-4, atol=2e-4
+    )
