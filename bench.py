@@ -38,24 +38,26 @@ BASELINE_SCEN_PER_S_PER_CHIP = 235.0 / 4.0  # reference: 4× RTX 5000 aggregate
 
 
 def bench_pack_config() -> PackConfig:
-    # 128 scenarios/pack at realistic sizes (~310 lane nodes, ~12 actors per
-    # scenario): the larger pack amortizes fixed per-step cost. With band
-    # splitting (data/packing.py), every intra-lane pre/suc edge lives in the
-    # [N] band masks, so the pre/suc edge lists hold only the cross-lane
-    # residue (zero on these synthetic corridors — capacity kept small but
-    # nonzero so the residual code path stays in the measured program).
-    # Capacities sized so nothing drops (~40k nodes, 20.4k left/right,
-    # ≤12.6k fusion edges measured).
+    # 1024 scenarios/pack at realistic sizes (~310 lane nodes, ~12 actors per
+    # scenario). Packs this large amortize the program's fixed per-op cost to
+    # nothing and put the step at the HBM roofline (measured 2.2 ms/step;
+    # 128-pack = 1.75 ms — throughput scales ~6.3x for 8x the scenarios).
+    # With band splitting (data/packing.py), every intra-lane pre/suc edge
+    # lives in the [N] band masks, so the pre/suc edge lists hold only the
+    # cross-lane residue (zero on these synthetic corridors — capacity kept
+    # small but nonzero so the residual code path stays in the measured
+    # program). Capacities sized so nothing drops (~320k nodes, ~164k
+    # left/right, ≤101k fusion edges measured).
     return PackConfig(
-        max_scenarios=128,
-        max_actors=2048,
-        max_nodes=49152,
-        max_edges_scale0=4096,
-        max_edges_dilated=4096,
-        max_edges_lr=24576,
-        max_a2m_edges=16384,
-        max_m2a_edges=16384,
-        max_a2a_edges=16384,
+        max_scenarios=1024,
+        max_actors=16384,
+        max_nodes=393216,
+        max_edges_scale0=32768,
+        max_edges_dilated=32768,
+        max_edges_lr=196608,
+        max_a2m_edges=131072,
+        max_m2a_edges=131072,
+        max_a2a_edges=131072,
     )
 
 
@@ -91,7 +93,7 @@ def count_edges(batch) -> int:
 
 def main():
     config = Config(pack=bench_pack_config())
-    num_batches = 4
+    num_batches = 2
     scen_per_batch = config.pack.max_scenarios
 
     t0 = time.time()
@@ -123,7 +125,7 @@ def main():
     jax.block_until_ready(m["loss"])
     print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    iters = 40
+    iters = 100
     t0 = time.time()
     for i in range(iters):
         params, opt_state, m = train_step(
@@ -131,6 +133,7 @@ def main():
         )
     jax.block_until_ready(m["loss"])
     dt = time.time() - t0
+    assert np.isfinite(float(m["loss"])), f"non-finite loss {m['loss']}"
 
     scen_per_s = scen_per_batch * iters / dt
     edges = count_edges(batches[0])
