@@ -228,13 +228,23 @@ def cmd_eval(args):
 
 
 def cmd_preprocess(args):
-    """Featurize + graph-build scenarios offline into pickle shards."""
+    """Featurize + graph-build scenarios offline into pickle shards.
+
+    Bakes the pack-ready blobs (precompute_pack_cache) into each scenario so
+    training-time packing is pure concatenation."""
+    from lanegcn_tpu.config import ModelConfig
+    from lanegcn_tpu.data.packing import precompute_pack_cache
+
     dataset = _parse_data(args.data, getattr(args, "model", "lanegcn"))
+    model_cfg = ModelConfig()
     os.makedirs(args.out, exist_ok=True)
     shard, shard_id, per_shard = [], 0, args.shard_size
     t0 = time.time()
     for i in range(len(dataset)):
-        shard.append(dataset[i])
+        scen = dataset[i]
+        if "graph" in scen:
+            precompute_pack_cache(scen, model_cfg)
+        shard.append(scen)
         if len(shard) == per_shard:
             path = os.path.join(args.out, f"shard_{shard_id:05d}.pkl")
             with open(path, "wb") as f:

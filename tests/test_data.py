@@ -156,3 +156,26 @@ def test_pack_batch_skips_oversize_scenario():
     scens = [make_synthetic_scenario(seed=i, num_corridors=2, num_actors=20) for i in range(2)]
     batch, stats = pack_batch(scens, pack, cfg)
     assert stats["packed_scenarios"] + stats["skipped_scenarios"] == 2
+
+
+def test_pack_cache_identical_and_picklable():
+    """Cold pack (builds per-scenario caches) and warm pack (memoized, as
+    when loaded from preprocessed shards) must produce identical batches —
+    including through a pickle round-trip of the cached scenarios."""
+    import pickle
+
+    cfg = ModelConfig()
+    pack = PackConfig(
+        max_scenarios=4, max_actors=64, max_nodes=4096,
+        max_edges_scale0=8192, max_edges_dilated=8192, max_edges_lr=1024,
+        max_a2m_edges=8192, max_m2a_edges=8192, max_a2a_edges=2048,
+    )
+    scens = [make_synthetic_scenario(seed=i, num_corridors=2, num_actors=6) for i in range(4)]
+    import jax
+
+    cold, s_cold = pack_batch(scens, pack, cfg)  # memoizes "_pack" on dicts
+    assert all("_pack" in s for s in scens)
+    warm, s_warm = pack_batch(pickle.loads(pickle.dumps(scens)), pack, cfg)
+    assert s_cold == s_warm
+    for a, b in zip(jax.tree.leaves(cold), jax.tree.leaves(warm)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
