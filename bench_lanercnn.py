@@ -1,0 +1,116 @@
+"""Benchmark: LaneRCNN training throughput on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The reference trains LaneRCNN at batch 10 and publishes no throughput, so
+vs_baseline reuses the LaneGCN per-GPU baseline (58.8 scen/s, BASELINE.md) —
+a conservative stand-in (LaneRCNN is the heavier model).
+
+Run alone — the axon TPU tunnel admits one process at a time.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+from lanegcn_tpu.config import Config, RoiPackConfig
+from lanegcn_tpu.data.dataset import RoiSyntheticDataset
+from lanegcn_tpu.data.packing_roi import pack_roi_batch
+from lanegcn_tpu.models.lanercnn import LaneRCNN, roi_loss, roi_metrics
+from lanegcn_tpu.train.loop import make_train_step
+from lanegcn_tpu.train.optimizer import make_optimizer
+
+BASELINE_SCEN_PER_S_PER_CHIP = 235.0 / 4.0
+
+
+def bench_roi_config() -> RoiPackConfig:
+    # 256 scenarios/pack at realistic sizes (~8.5 RoIs and ~570 RoI nodes per
+    # scenario). Intra-lane pre/suc edges live in the band masks; the edge
+    # lists carry only cross-lane residue + left/right. Pool edges (~1.3M)
+    # dominate capacity and HBM (512-scenario packs exceed 15.75G HBM in the
+    # backward pass). Sized from measured synthetic packs so nothing drops.
+    return RoiPackConfig(
+        max_scenarios=256,
+        max_rois=4096,
+        max_roi_nodes=196608,
+        max_interest_nodes=24576,
+        max_edges_scale0=8192,
+        max_edges_dilated=8192,
+        max_edges_lr=131072,
+        max_a2m_edges=32768,
+        max_pool_edges=2097152,
+        max_a2r_edges=65536,
+    )
+
+
+def main():
+    config = Config(roi_pack=bench_roi_config())
+    num_batches = 2
+    scen_per_batch = config.roi_pack.max_scenarios
+
+    t0 = time.time()
+    ds = RoiSyntheticDataset(num_batches * scen_per_batch, num_corridors=3, num_actors=12)
+    batches = []
+    for b in range(num_batches):
+        scens = [ds[b * scen_per_batch + i] for i in range(scen_per_batch)]
+        batch, stats = pack_roi_batch(scens, config.roi_pack, config.model)
+        drops = {k: v for k, v in stats.items() if k.startswith("dropped") and v}
+        assert stats["packed_scenarios"] == scen_per_batch, stats
+        assert not drops, drops
+        batches.append(jax.tree.map(jnp.asarray, batch))
+    print(f"# packed {num_batches}x{scen_per_batch} scenarios ({time.time()-t0:.1f}s host)", file=sys.stderr)
+
+    net = LaneRCNN(config.model, dtype=jnp.bfloat16)
+    params = net.init(jax.random.PRNGKey(0), batches[0])["params"]
+    tx, lr_fn = make_optimizer(config.train)
+    opt_state = tx.init(params)
+    train_step = make_train_step(
+        config, net, tx, lr_fn, loss_fn=roi_loss, metrics_fn=roi_metrics
+    )
+
+    t0 = time.time()
+    params, opt_state, m = train_step(params, opt_state, batches[0], 0.0)
+    jax.block_until_ready(m["loss"])
+    print(f"# compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    iters = 50
+    t0 = time.time()
+    for i in range(iters):
+        params, opt_state, m = train_step(
+            params, opt_state, batches[i % num_batches], 0.0
+        )
+    jax.block_until_ready(m["loss"])
+    dt = time.time() - t0
+    assert np.isfinite(float(m["loss"])), f"non-finite loss {m['loss']}"
+
+    scen_per_s = scen_per_batch * iters / dt
+    print(
+        f"# {iters} steps in {dt:.2f}s → {dt/iters*1e3:.2f} ms/step, "
+        f"{scen_per_s:.1f} scen/s (bf16 train fwd+bwd+adamw+metrics)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "lanercnn_train_scenarios_per_sec_per_chip",
+                "value": round(scen_per_s, 2),
+                "unit": "scenarios/s",
+                "vs_baseline": round(scen_per_s / BASELINE_SCEN_PER_S_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

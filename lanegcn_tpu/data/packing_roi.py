@@ -23,9 +23,14 @@ def pack_roi_batch(
     roi_cfg: RoiPackConfig,
     model_cfg: ModelConfig,
     pooling_dist: float = 6.0,
+    split_bands: bool = True,
 ) -> Tuple[RoiPackedBatch, Dict[str, int]]:
     """Scenarios must carry "subgraphs"/"valid_agent_ids" (lane_roi.py) in
-    addition to the base featurization + graph."""
+    addition to the base featurization + graph.
+
+    split_bands: as in pack_batch — RoI subgraph nodes are lane-contiguous
+    runs too, so intra-lane pre/suc edges (v = u + band_shift) become [M]
+    band masks and the edge lists keep only the cross-lane residue."""
     names = relation_names(model_cfg.num_scales)
     b_cap, r_cap = roi_cfg.max_scenarios, roi_cfg.max_rois
     m_cap, mi_cap = roi_cfg.max_roi_nodes, roi_cfg.max_interest_nodes
@@ -169,13 +174,26 @@ def pack_roi_batch(
     graph_batch, gstats = pack_batch(used, gcfg, model_cfg)
     assert gstats["packed_scenarios"] == si, (gstats, si)
     for k, v in gstats.items():
-        if k.startswith("dropped") and v:
+        # Fusion edges of the global-graph packer are unused by LaneRCNN
+        # (capacity 1 by construction) — don't report their drops.
+        if k.startswith("dropped") and v and k[8:] not in ("a2m", "m2a", "a2a"):
             stats[f"graph_{k}"] = v
 
+    from lanegcn_tpu.config import band_shift
+
     edges = {}
+    bands = {} if split_bands else None
     for nm in names:
         u = np.concatenate(rel[nm][0]) if rel[nm][0] else np.zeros(0, np.int64)
         v = np.concatenate(rel[nm][1]) if rel[nm][1] else np.zeros(0, np.int64)
+        shift = band_shift(nm) if split_bands else None
+        if shift is not None:
+            banded = (v - u) == shift
+            mask = np.zeros(m_cap, bool)
+            mask[u[banded]] = True
+            bands[nm] = mask
+            stats[f"banded_{nm}"] = int(banded.sum())
+            u, v = u[~banded], v[~banded]
         edges[nm], dropped = _pad_edges(u, v, roi_cfg.edge_capacity(nm))
         stats[f"dropped_{nm}"] = dropped
 
@@ -216,5 +234,6 @@ def pack_roi_batch(
         gt_preds=gt_preds,
         has_preds=has_preds,
         scen_mask=scen_mask,
+        bands=bands,
     )
     return batch, stats

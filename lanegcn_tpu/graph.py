@@ -154,6 +154,9 @@ class RoiPackedBatch:
     gt_preds: jax.Array  # [B, T_pred, 2] agent-frame ground truth
     has_preds: jax.Array  # [B, T_pred] bool
     scen_mask: jax.Array  # [B] bool
+    # Optional intra-lane band masks over [M] per pre/suc relation (same
+    # masked-roll encoding as LaneGraphBatch.bands; see data/packing.py).
+    bands: Dict[str, jax.Array] | None = None
 
 
 def empty_edge_set(capacity: int) -> EdgeSet:

@@ -61,11 +61,11 @@ class LaneRoI(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feat: jax.Array, edges: Dict[str, EdgeSet]) -> jax.Array:
+    def __call__(self, feat: jax.Array, edges: Dict[str, EdgeSet], bands=None) -> jax.Array:
         feat = Linear(self.cfg.n_map, dtype=self.dtype, name="input")(feat)
         return LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="fuse"
-        )(feat, edges)
+        )(feat, edges, bands)
 
 
 class LanePooling(nn.Module):
@@ -306,9 +306,13 @@ class LaneRCNN(nn.Module):
     @nn.compact
     def __call__(self, batch: RoiPackedBatch) -> Dict[str, jax.Array]:
         feat = LaneInput(self.cfg, dtype=self.dtype, name="input")(batch)
-        feat = LaneRoI(self.cfg, dtype=self.dtype, name="roi_net1")(feat, batch.edges)
+        feat = LaneRoI(self.cfg, dtype=self.dtype, name="roi_net1")(
+            feat, batch.edges, batch.bands
+        )
         feat = Interactor(self.cfg, dtype=self.dtype, name="interactor")(batch, feat)
-        feat = LaneRoI(self.cfg, dtype=self.dtype, name="roi_net2")(feat, batch.edges)
+        feat = LaneRoI(self.cfg, dtype=self.dtype, name="roi_net2")(
+            feat, batch.edges, batch.bands
+        )
         logits, goals, trajs = Decode(self.cfg, dtype=self.dtype, name="decode")(
             feat, batch
         )

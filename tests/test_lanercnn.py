@@ -160,3 +160,17 @@ def test_lanercnn_gradients(batch, forward):
     assert all(np.isfinite(l) for l in leaves)
     nonzero = sum(1 for l in leaves if l > 0)
     assert nonzero / len(leaves) > 0.85, f"{nonzero}/{len(leaves)} grads nonzero"
+
+
+def test_lanercnn_bands_equal_edge_lists(scens, forward):
+    """split_bands=True (masked-roll path in the RoI LaneConv) must equal
+    split_bands=False (explicit edge lists) on the same scenarios."""
+    net, params, _ = forward
+    cfg = Config(roi_pack=TINY_ROI)
+    b_band, s_band = pack_roi_batch(scens, cfg.roi_pack, cfg.model, split_bands=True)
+    b_list, s_list = pack_roi_batch(scens, cfg.roi_pack, cfg.model, split_bands=False)
+    assert sum(v for k, v in s_band.items() if k.startswith("banded")) > 0
+    out_band = net.apply({"params": params}, jax.tree.map(jnp.asarray, b_band))
+    out_list = net.apply({"params": params}, jax.tree.map(jnp.asarray, b_list))
+    for k in out_band:
+        np.testing.assert_allclose(out_band[k], out_list[k], rtol=2e-5, atol=2e-5)
