@@ -244,6 +244,10 @@ def cmd_preprocess(args):
         scen = dataset[i]
         if "graph" in scen:
             precompute_pack_cache(scen, model_cfg)
+        if "subgraphs" in scen:
+            from lanegcn_tpu.data.packing_roi import precompute_roi_cache
+
+            precompute_roi_cache(scen, model_cfg)
         shard.append(scen)
         if len(shard) == per_shard:
             path = os.path.join(args.out, f"shard_{shard_id:05d}.pkl")

@@ -5,6 +5,12 @@ LanePooling edge construction (reference lanercnn.py:122-231, 474-489):
 RoIs are flattened RoI-major with pack-global node indices; the pooling
 edges (RoI-node ↔ global-node ≤6 m, traj-point ↔ interest-node ≤6 m) are
 precomputed exactly from data-time centers.
+
+Like pack_batch, everything pack-composition-invariant (subgraph node
+blobs, band splits, pooling threshold edges, focal-agent features) is
+precomputed once per scenario (`precompute_roi_cache`, memoized on the
+scenario dict / baked into shards), so packing is vectorized concatenation
+plus per-scenario offset arithmetic.
 """
 
 from __future__ import annotations
@@ -13,9 +19,167 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from lanegcn_tpu.config import ModelConfig, PackConfig, RoiPackConfig, relation_names
-from lanegcn_tpu.data.packing import _pad_edges, _threshold_edges, pack_batch
+from lanegcn_tpu.config import (
+    ModelConfig,
+    PackConfig,
+    RoiPackConfig,
+    band_shift,
+    relation_names,
+)
+from lanegcn_tpu.data.packing import (
+    _pad_edges,
+    _segment_reorder,
+    _threshold_edges,
+    pack_batch,
+)
 from lanegcn_tpu.graph import RoiPackedBatch
+
+ROI_CACHE_VERSION = 1
+
+
+def precompute_roi_cache(
+    scen: Dict, model_cfg: ModelConfig, pooling_dist: float = 6.0
+) -> Dict:
+    """Pack-ready RoI blobs for one scenario, scenario-local index spaces.
+
+    Scenario must carry "subgraphs"/"valid_agent_ids" (lane_roi.py) plus the
+    base featurization + graph. Layouts (S subs, M = Σ sub nodes, T = hist,
+    Tp = pred):
+      rnode_blob [M, 8], rband_blob [M, 2*num_scales] bool
+      redge_u/redge_v int32 + redge_counts [R] — cross-lane residue +
+        left/right, relation-major within the scenario
+      agent_feat [S, 4T], agent_vel [S], sub_counts [S]
+      a2m_u (RoI row, scenario-local) / a2m_v (RoI-node row)
+      pool_ru (RoI-node row) / pool_gv (global-node row) — ≤ pooling_dist
+      a2r_u (interest-node row 0..int_nn) / a2r_v (traj step 0..T)
+      meta [2+2+1+2T+2T+2Tp+Tp] — focal ctr‖dir‖vel‖trajs‖traj_dirs‖gt‖has
+    """
+    key = (ROI_CACHE_VERSION, model_cfg.num_scales, model_cfg.num_hist,
+           model_cfg.num_preds, pooling_dist)
+    cache = scen.get("_roi_pack")
+    if cache is not None and cache.get("key") == key:
+        return cache
+
+    t_hist = model_cfg.num_hist
+    names = relation_names(model_cfg.num_scales)
+    subs = scen.get("subgraphs", [])
+    valid_ids = scen.get("valid_agent_ids", np.zeros(0, np.int64))
+    g_ctrs = scen["graph"]["ctrs"]
+    num_subs = len(subs)
+    sub_counts = np.asarray([s["num_nodes"] for s in subs], np.int64)
+    tot = int(sub_counts.sum())
+
+    rnode_blob = (
+        np.concatenate([np.asarray(s["feats"], np.float32) for s in subs])
+        if subs
+        else np.zeros((0, 8), np.float32)
+    )
+    m_offs = np.zeros(num_subs, np.int64)
+    if num_subs:
+        np.cumsum(sub_counts[:-1], out=m_offs[1:])
+
+    # Edges: per relation, concat subs with scenario-local offsets; band split.
+    rband_blob = np.zeros((tot, 2 * model_cfg.num_scales), bool)
+    us: List[np.ndarray] = []
+    vs: List[np.ndarray] = []
+    counts: List[int] = []
+    j = 0
+    for nm in names:
+        parts_u, parts_v = [], []
+        for k, sub in enumerate(subs):
+            e = sub[nm] if nm in ("left", "right") else sub[nm[:3]][int(nm[3:])]
+            parts_u.append(np.asarray(e["u"], np.int64) + m_offs[k])
+            parts_v.append(np.asarray(e["v"], np.int64) + m_offs[k])
+        u = np.concatenate(parts_u) if parts_u else np.zeros(0, np.int64)
+        v = np.concatenate(parts_v) if parts_v else np.zeros(0, np.int64)
+        shift = band_shift(nm)
+        if shift is not None:
+            banded = (v - u) == shift
+            rband_blob[u[banded], j] = True
+            j += 1
+            u, v = u[~banded], v[~banded]
+        us.append(u.astype(np.int32))
+        vs.append(v.astype(np.int32))
+        counts.append(len(u))
+
+    # a2m: agent feature → its RoI's nodes within 5 m (precomputed in the
+    # subgraph); u = RoI row (scenario-local), v = RoI-node row.
+    a2m_u = np.concatenate(
+        [np.full(len(s["a2m"]["v"]), k, np.int32) for k, s in enumerate(subs)]
+    ) if subs else np.zeros(0, np.int32)
+    a2m_v = np.concatenate(
+        [np.asarray(s["a2m"]["v"], np.int64) + m_offs[k] for k, s in enumerate(subs)]
+    ).astype(np.int32) if subs else np.zeros(0, np.int32)
+
+    # Pooling edges: RoI-node ↔ global-node within pooling_dist.
+    pool_ru_parts, pool_gv_parts = [], []
+    for k, sub in enumerate(subs):
+        ru, gv = _threshold_edges(sub["feats"][:, :2], g_ctrs, pooling_dist)
+        pool_ru_parts.append(ru + m_offs[k])
+        pool_gv_parts.append(gv)
+    pool_ru = (
+        np.concatenate(pool_ru_parts).astype(np.int32)
+        if pool_ru_parts
+        else np.zeros(0, np.int32)
+    )
+    pool_gv = (
+        np.concatenate(pool_gv_parts).astype(np.int32)
+        if pool_gv_parts
+        else np.zeros(0, np.int32)
+    )
+
+    # Focal agent (first valid agent, reference lanercnn.py:148-149).
+    if num_subs:
+        focal = int(valid_ids[0])
+        ctr = np.asarray(scen["ctrs"][focal], np.float32)
+        last_dir = np.asarray(scen["feats"][focal, -1, :2], np.float32)
+        n = float(np.linalg.norm(last_dir))
+        agt_dir = last_dir / n if n >= 1e-6 else np.zeros(2, np.float32)
+        trajs = np.asarray(scen["obs_trajs"][focal, :, :2], np.float32)
+        traj_dirs = np.asarray(scen["feats"][focal, :, :2], np.float32)
+        gt_world = scen["gt_preds"][focal]
+        gt = (scen["rot"] @ (gt_world - scen["orig"][None, :]).T).T.astype(np.float32)
+        has = np.asarray(scen["has_preds"][focal], np.float32)
+        meta = np.concatenate(
+            [ctr, agt_dir, np.float32([subs[0]["agent_vel"]]),
+             trajs.ravel(), traj_dirs.ravel(), gt.ravel(), has]
+        )
+        # traj-point → interest-node refinement edges (interest RoI = sub 0).
+        iu, tv = _threshold_edges(subs[0]["feats"][:, :2], trajs, pooling_dist)
+        int_nn = int(sub_counts[0])
+    else:
+        meta = np.zeros(5 + 4 * t_hist + 3 * model_cfg.num_preds, np.float32)
+        iu = tv = np.zeros(0, np.int64)
+        int_nn = 0
+
+    cache = {
+        "key": key,
+        "num_subs": num_subs,
+        "tot_nodes": tot,
+        "int_nn": int_nn,
+        "nn_g": int(scen["graph"]["num_nodes"]),
+        "sub_counts": sub_counts,
+        "rnode_blob": rnode_blob,
+        "rband_blob": rband_blob,
+        "redge_u": np.concatenate(us) if us else np.zeros(0, np.int32),
+        "redge_v": np.concatenate(vs) if vs else np.zeros(0, np.int32),
+        "redge_counts": np.asarray(counts, np.int64),
+        "agent_feat": (
+            np.stack([np.asarray(s["agent_feat"], np.float32) for s in subs])
+            if subs
+            else np.zeros((0, 4 * t_hist), np.float32)
+        ),
+        "agent_vel": np.asarray([s["agent_vel"] for s in subs], np.float32),
+        "a2m_u": a2m_u,
+        "a2m_v": a2m_v,
+        "pool_ru": pool_ru,
+        "pool_gv": pool_gv,
+        "a2r_u": iu.astype(np.int32),
+        "a2r_v": tv.astype(np.int32),
+        "meta": meta,
+    }
+    scen["_roi_pack"] = cache
+    return cache
 
 
 def pack_roi_batch(
@@ -35,7 +199,69 @@ def pack_roi_batch(
     b_cap, r_cap = roi_cfg.max_scenarios, roi_cfg.max_rois
     m_cap, mi_cap = roi_cfg.max_roi_nodes, roi_cfg.max_interest_nodes
     t_hist, t_pred = model_cfg.num_hist, model_cfg.num_preds
+    num_rel = len(names)
 
+    # Shared global lane graph via the LaneGCN packer (fusion edges unused).
+    gcfg = PackConfig(
+        max_scenarios=b_cap,
+        # Generous: the global-graph packer must accept every scenario this
+        # packer accepted (its skip would desync offsets — asserted below).
+        max_actors=64 * b_cap,
+        max_nodes=m_cap,  # global nodes ≤ Σ roi nodes in practice
+        max_edges_scale0=roi_cfg.max_edges_scale0,
+        max_edges_dilated=roi_cfg.max_edges_dilated,
+        max_edges_lr=roi_cfg.max_edges_lr,
+        max_a2m_edges=1,
+        max_m2a_edges=1,
+        max_a2a_edges=1,
+    )
+
+    stats = {"skipped_scenarios": 0, "packed_scenarios": 0}
+
+    # --- acceptance pass ---
+    accepted: List[Dict] = []  # roi caches
+    used: List[Dict] = []  # scenario dicts (for the global-graph packer)
+    m_off = r_off = mi_off = g_off = 0
+    for scen in scenarios:
+        c = precompute_roi_cache(scen, model_cfg, pooling_dist)
+        if (
+            len(accepted) >= b_cap
+            or c["num_subs"] == 0
+            or r_off + c["num_subs"] > r_cap
+            or m_off + c["tot_nodes"] > m_cap
+            or mi_off + c["int_nn"] > mi_cap
+            or g_off + c["nn_g"] > m_cap
+        ):
+            stats["skipped_scenarios"] += 1
+            continue
+        accepted.append(c)
+        used.append(scen)
+        m_off += c["tot_nodes"]
+        r_off += c["num_subs"]
+        mi_off += c["int_nn"]
+        g_off += c["nn_g"]
+    si = len(accepted)
+    stats["packed_scenarios"] = si
+    stats["num_rois"] = r_off
+    stats["num_roi_nodes"] = m_off
+    stats["num_interest_nodes"] = mi_off
+
+    M, R, MI = m_off, r_off, mi_off
+    tot_arr = np.asarray([c["tot_nodes"] for c in accepted], np.int64)
+    sub_arr = np.asarray([c["num_subs"] for c in accepted], np.int64)
+    int_arr = np.asarray([c["int_nn"] for c in accepted], np.int64)
+    g_arr = np.asarray([c["nn_g"] for c in accepted], np.int64)
+    m_offs = np.zeros(si, np.int64)
+    r_offs = np.zeros(si, np.int64)
+    mi_offs = np.zeros(si, np.int64)
+    g_offs = np.zeros(si, np.int64)
+    if si:
+        np.cumsum(tot_arr[:-1], out=m_offs[1:])
+        np.cumsum(sub_arr[:-1], out=r_offs[1:])
+        np.cumsum(int_arr[:-1], out=mi_offs[1:])
+        np.cumsum(g_arr[:-1], out=g_offs[1:])
+
+    # --- vectorized assembly ---
     node_feats = np.zeros((m_cap, 8), np.float32)
     node_mask = np.zeros(m_cap, bool)
     node_roi = np.zeros(m_cap, np.int32)
@@ -57,119 +283,64 @@ def pack_roi_batch(
     has_preds = np.zeros((b_cap, t_pred), bool)
     scen_mask = np.zeros(b_cap, bool)
 
-    rel: Dict[str, List] = {nm: [[], []] for nm in names}
-    a2m_u, a2m_v = [], []
-    pool_ru, pool_gv = [], []  # (roi node, global node) pairs within 6 m
-    a2r_u, a2r_v = [], []
+    if si:
+        node_feats[:M] = np.concatenate([c["rnode_blob"] for c in accepted])
+        node_mask[:M] = True
+        # RoI row per node: scenario-local RoI ids + per-scenario RoI offset.
+        node_roi[:M] = np.repeat(
+            np.repeat(r_offs, sub_arr)
+            + np.concatenate([np.arange(c["num_subs"], dtype=np.int64) for c in accepted]),
+            np.concatenate([c["sub_counts"] for c in accepted]),
+        )
+        agent_feat[:R] = np.concatenate([c["agent_feat"] for c in accepted])
+        agent_vel[:R] = np.concatenate([c["agent_vel"] for c in accepted])
+        roi_mask[:R] = True
+        roi_scen[:R] = np.repeat(np.arange(si, dtype=np.int32), sub_arr)
 
-    # Also pack the shared global lane graph using the LaneGCN packer's graph
-    # part (fusion edges unused here). Use a PackConfig sized from roi_cfg.
-    gcfg = PackConfig(
-        max_scenarios=b_cap,
-        # Generous: the global-graph packer must accept every scenario this
-        # packer accepted (its skip would desync offsets — asserted below).
-        max_actors=64 * b_cap,
-        max_nodes=m_cap,  # global nodes ≤ Σ roi nodes in practice
-        max_edges_scale0=roi_cfg.max_edges_scale0,
-        max_edges_dilated=roi_cfg.max_edges_dilated,
-        max_edges_lr=roi_cfg.max_edges_lr,
-        max_a2m_edges=1,
-        max_m2a_edges=1,
-        max_a2a_edges=1,
-    )
+        # Interest-RoI nodes are each scenario's first sub: rows m_off..+int_nn.
+        int_node_idx[:MI] = np.repeat(m_offs, int_arr) + np.concatenate(
+            [np.arange(c["int_nn"], dtype=np.int64) for c in accepted]
+        )
+        int_node_scen[:MI] = np.repeat(np.arange(si, dtype=np.int32), int_arr)
+        int_node_mask[:MI] = True
 
-    stats = {"skipped_scenarios": 0, "packed_scenarios": 0}
-    used: List[Dict] = []
-    m_off = 0
-    r_off = 0
-    mi_off = 0
-    g_off = 0  # global node offset (mirrors pack_batch's packing order)
-    si = 0
-    for scen in scenarios:
-        subs = scen.get("subgraphs", [])
-        valid_ids = scen.get("valid_agent_ids", np.zeros(0, np.int64))
-        nn_g = int(scen["graph"]["num_nodes"])
-        tot_nodes = sum(s["num_nodes"] for s in subs)
-        if (
-            si >= b_cap
-            or len(subs) == 0
-            or r_off + len(subs) > r_cap
-            or m_off + tot_nodes > m_cap
-            or mi_off + subs[0]["num_nodes"] > mi_cap
-            or g_off + nn_g > m_cap
-        ):
-            stats["skipped_scenarios"] += 1
-            continue
+        meta = np.stack([c["meta"] for c in accepted])
+        o = 0
+        agt_ctrs[:si] = meta[:, o : o + 2]; o += 2
+        agt_dirs[:si] = meta[:, o : o + 2]; o += 2
+        agt_vels[:si] = meta[:, o]; o += 1
+        agt_trajs[:si] = meta[:, o : o + 2 * t_hist].reshape(si, t_hist, 2); o += 2 * t_hist
+        agt_traj_dirs[:si] = meta[:, o : o + 2 * t_hist].reshape(si, t_hist, 2); o += 2 * t_hist
+        gt_preds[:si] = meta[:, o : o + 2 * t_pred].reshape(si, t_pred, 2); o += 2 * t_pred
+        has_preds[:si] = meta[:, o:] > 0.5
+        scen_mask[:si] = True
 
-        # Focal agent = first valid agent (reference lanercnn.py:148-149).
-        focal = int(valid_ids[0])
-        agt_ctrs[si] = scen["ctrs"][focal]
-        last_dir = scen["feats"][focal, -1, :2]
-        n = np.linalg.norm(last_dir)
-        agt_dirs[si] = last_dir / n if n >= 1e-6 else 0.0
-        agt_vels[si] = subs[0]["agent_vel"]
-        agt_trajs[si] = scen["obs_trajs"][focal, :, :2]
-        agt_traj_dirs[si] = scen["feats"][focal, :, :2]
-        # Agent-frame gt (reference train_lanercnn.py:153-157).
-        gt_world = scen["gt_preds"][focal]
-        gt_preds[si] = (scen["rot"] @ (gt_world - scen["orig"][None, :]).T).T
-        has_preds[si] = scen["has_preds"][focal]
-        scen_mask[si] = True
+        e_counts = np.stack([c["redge_counts"] for c in accepted])  # [S, R]
+        m_add = np.broadcast_to(m_offs[:, None], (si, num_rel))
+        rel_u, per_rel = _segment_reorder(
+            np.concatenate([c["redge_u"] for c in accepted]), e_counts, m_add
+        )
+        rel_v, _ = _segment_reorder(
+            np.concatenate([c["redge_v"] for c in accepted]), e_counts, m_add
+        )
+        band_cat = np.concatenate([c["rband_blob"] for c in accepted])
 
-        for k, sub in enumerate(subs):
-            nn = sub["num_nodes"]
-            node_feats[m_off : m_off + nn] = sub["feats"]
-            node_mask[m_off : m_off + nn] = True
-            node_roi[m_off : m_off + nn] = r_off
-            agent_feat[r_off] = sub["agent_feat"]
-            agent_vel[r_off] = sub["agent_vel"]
-            roi_mask[r_off] = True
-            roi_scen[r_off] = si
+        def _offset(field: str, offs: np.ndarray) -> np.ndarray:
+            parts = [c[field] for c in accepted]
+            lens = np.asarray([len(p) for p in parts], np.int64)
+            return np.concatenate(parts).astype(np.int64) + np.repeat(offs, lens)
 
-            for s in range(model_cfg.num_scales):
-                for kind in ("pre", "suc"):
-                    nm = f"{kind}{s}"
-                    e = sub[kind][s]
-                    rel[nm][0].append(np.asarray(e["u"], np.int64) + m_off)
-                    rel[nm][1].append(np.asarray(e["v"], np.int64) + m_off)
-            for nm in ("left", "right"):
-                e = sub[nm]
-                rel[nm][0].append(np.asarray(e["u"], np.int64) + m_off)
-                rel[nm][1].append(np.asarray(e["v"], np.int64) + m_off)
-
-            a2m_u.append(np.full(len(sub["a2m"]["v"]), r_off, np.int64))
-            a2m_v.append(np.asarray(sub["a2m"]["v"], np.int64) + m_off)
-
-            # RoI-node ↔ global-node pooling edges (≤ pooling_dist).
-            ru, gv = _threshold_edges(
-                sub["feats"][:, :2], scen["graph"]["ctrs"], pooling_dist
-            )
-            pool_ru.append(ru + m_off)
-            pool_gv.append(gv + g_off)
-
-            if k == 0:  # interest RoI
-                idx = np.arange(nn, dtype=np.int64)
-                int_node_idx[mi_off : mi_off + nn] = m_off + idx
-                int_node_scen[mi_off : mi_off + nn] = si
-                int_node_mask[mi_off : mi_off + nn] = True
-                # traj-point → interest-node refinement edges.
-                iu, tv = _threshold_edges(
-                    sub["feats"][:, :2], agt_trajs[si], pooling_dist
-                )
-                a2r_u.append(iu + mi_off)
-                a2r_v.append(tv + si * t_hist)
-                mi_off += nn
-
-            m_off += nn
-            r_off += 1
-        g_off += nn_g
-        si += 1
-        used.append(scen)
-
-    stats["packed_scenarios"] = si
-    stats["num_rois"] = r_off
-    stats["num_roi_nodes"] = m_off
-    stats["num_interest_nodes"] = mi_off
+        a2m_u = _offset("a2m_u", r_offs)
+        a2m_v = _offset("a2m_v", m_offs)
+        pool_ru = _offset("pool_ru", m_offs)
+        pool_gv = _offset("pool_gv", g_offs)
+        a2r_u = _offset("a2r_u", mi_offs)
+        a2r_v = _offset("a2r_v", np.arange(si, dtype=np.int64) * t_hist)
+    else:
+        rel_u = rel_v = np.zeros(0, np.int64)
+        per_rel = np.zeros(num_rel, np.int64)
+        band_cat = np.zeros((0, 2 * model_cfg.num_scales), bool)
+        a2m_u = a2m_v = pool_ru = pool_gv = a2r_u = a2r_v = np.zeros(0, np.int64)
 
     graph_batch, gstats = pack_batch(used, gcfg, model_cfg)
     assert gstats["packed_scenarios"] == si, (gstats, si)
@@ -179,27 +350,31 @@ def pack_roi_batch(
         if k.startswith("dropped") and v and k[8:] not in ("a2m", "m2a", "a2a"):
             stats[f"graph_{k}"] = v
 
-    from lanegcn_tpu.config import band_shift
-
     edges = {}
     bands = {} if split_bands else None
-    for nm in names:
-        u = np.concatenate(rel[nm][0]) if rel[nm][0] else np.zeros(0, np.int64)
-        v = np.concatenate(rel[nm][1]) if rel[nm][1] else np.zeros(0, np.int64)
-        shift = band_shift(nm) if split_bands else None
+    off = 0
+    j = 0
+    for r, nm in enumerate(names):
+        u = rel_u[off : off + per_rel[r]]
+        v = rel_v[off : off + per_rel[r]]
+        off += per_rel[r]
+        shift = band_shift(nm)
         if shift is not None:
-            banded = (v - u) == shift
-            mask = np.zeros(m_cap, bool)
-            mask[u[banded]] = True
-            bands[nm] = mask
-            stats[f"banded_{nm}"] = int(banded.sum())
-            u, v = u[~banded], v[~banded]
+            col = band_cat[:, j]
+            j += 1
+            if split_bands:
+                mask = np.zeros(m_cap, bool)
+                mask[: len(col)] = col
+                bands[nm] = mask
+                stats[f"banded_{nm}"] = int(col.sum())
+            else:
+                bu = np.nonzero(col)[0]
+                u = np.concatenate([u, bu])
+                v = np.concatenate([v, bu + shift])
         edges[nm], dropped = _pad_edges(u, v, roi_cfg.edge_capacity(nm))
         stats[f"dropped_{nm}"] = dropped
 
-    def _fuse(us, vs, cap, name):
-        u = np.concatenate(us) if us else np.zeros(0, np.int64)
-        v = np.concatenate(vs) if vs else np.zeros(0, np.int64)
+    def _fuse(u, v, cap, name):
         es, dropped = _pad_edges(u, v, cap)
         stats[f"dropped_{name}"] = dropped
         return es

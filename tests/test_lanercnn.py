@@ -174,3 +174,17 @@ def test_lanercnn_bands_equal_edge_lists(scens, forward):
     out_list = net.apply({"params": params}, jax.tree.map(jnp.asarray, b_list))
     for k in out_band:
         np.testing.assert_allclose(out_band[k], out_list[k], rtol=2e-5, atol=2e-5)
+
+
+def test_roi_pack_cache_identical_and_picklable(scens):
+    """Cold pack (builds RoI caches) and warm pack (memoized / from shards)
+    must produce identical RoI batches through a pickle round-trip."""
+    import pickle
+
+    cfg = Config(roi_pack=TINY_ROI)
+    cold, s_cold = pack_roi_batch(scens, cfg.roi_pack, cfg.model)
+    assert all("_roi_pack" in s for s in scens)
+    warm, s_warm = pack_roi_batch(pickle.loads(pickle.dumps(scens)), cfg.roi_pack, cfg.model)
+    assert s_cold == s_warm
+    for a, b in zip(jax.tree.leaves(cold), jax.tree.leaves(warm)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
