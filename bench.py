@@ -160,6 +160,59 @@ def main():
         infer_per_s = scen_per_batch * iters / (time.time() - t0)
         print(f"# inference: {infer_per_s:.0f} scen/s (bf16 fwd+loss+metrics)", file=sys.stderr)
 
+    # Optional: sustained end-to-end throughput — PackedLoader (background
+    # host packing over pack-cached scenarios, as when reading preprocessed
+    # shards) feeding the jitted train step. Bounded by min(host, device);
+    # host packing scales with cores (this box has 2). Measured components
+    # per 1024-scenario pack: pack 58 ms, h2d transfer 22 ms (median; the
+    # axon tunnel spikes to 0.5-1 s at ~25% rate — a relay artifact, PCIe
+    # DMA on a real TPU host moves 38 MB in ~5 ms), step dispatch 3 ms →
+    # 8-15k scen/s sustained here, transfer-bound, not pipeline-bound.
+    if os.environ.get("BENCH_E2E") == "1":
+        from lanegcn_tpu.data.dataset import PackedLoader
+
+        n_scen = 2 * scen_per_batch
+        scens = [
+            make_synthetic_scenario(seed=10_000 + i, num_corridors=3, num_actors=12)
+            for i in range(n_scen)
+        ]
+        from lanegcn_tpu.data.packing import precompute_pack_cache
+
+        for s in scens:
+            precompute_pack_cache(s, config.model)  # shards carry these
+
+        class _ListDataset:
+            def __init__(self, items):
+                self.items = items
+
+            def __len__(self):
+                return len(self.items)
+
+            def __getitem__(self, i):
+                return self.items[i]
+
+        # pack_workers=1 on this 2-core box: the single background
+        # packing thread overlaps with the transfer thread; more workers
+        # just contend for the 2 CPUs (measured: w=2 is ~2x slower).
+        loader = PackedLoader(
+            _ListDataset(scens), config, shuffle=True, pack_workers=1
+        )
+        # Warm epoch (fills page cache, compiles nothing new), then measure.
+        for ep in range(3):
+            t0 = time.time()
+            n = 0
+            for b in loader.epoch(ep):
+                b = jax.tree.map(jnp.asarray, b)
+                params, opt_state, m = train_step(params, opt_state, b, 0.0)
+                n += scen_per_batch
+            jax.block_until_ready(m["loss"])
+            dt = time.time() - t0
+            print(
+                f"# e2e epoch {ep}: {n} scen in {dt:.2f}s → {n/dt:.0f} scen/s "
+                f"(loader+pack+transfer+train, 1 pack worker)",
+                file=sys.stderr,
+            )
+
     print(
         json.dumps(
             {
