@@ -299,6 +299,35 @@ class Decode(nn.Module):
         return pred_logits, pred_ctrs, trajs
 
 
+class PredHead(nn.Module):
+    """Standalone per-node 5-dim goal head (reference PredHead
+    lanercnn.py:647-662; commented out of the reference Net — the active path
+    folds the same Linear+Dense into Decode's pred_hidden/pred_out)."""
+
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feat: jax.Array) -> jax.Array:
+        h = Linear(self.cfg.n_actor, dtype=self.dtype, name="hidden")(roi_feat)
+        return Dense(5, dtype=self.dtype, name="out")(h)  # [nodes, 5]
+
+
+class RefineHead(nn.Module):
+    """Standalone per-node 6x30x2 refinement head (reference RefineHead
+    lanercnn.py:664-680; commented out of the reference Net)."""
+
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feat: jax.Array) -> jax.Array:
+        k, t = self.cfg.num_mods, self.cfg.num_preds
+        h = Linear(self.cfg.n_actor, dtype=self.dtype, name="hidden")(roi_feat)
+        out = Dense(k * t * 2, dtype=self.dtype, name="out")(h)
+        return out.reshape(-1, k, t, 2)
+
+
 class LaneRCNN(nn.Module):
     cfg: ModelConfig
     dtype: Any = jnp.float32
@@ -376,6 +405,50 @@ def roi_loss(out: Dict, batch: RoiPackedBatch, cfg: LossConfig) -> Dict[str, jax
         "num_reg_goal": num_goal,
         "reg_traj_loss": reg_traj,
         "num_reg_traj": num_traj,
+    }
+
+
+def roi_loss_for_goals(
+    out: Dict, batch: RoiPackedBatch, cfg: LossConfig
+) -> Dict[str, jax.Array]:
+    """Goal-only loss variant (reference RoiLossForGoals lanercnn.py:926-1202,
+    superseded by RoiLoss in the active path): BCE-with-logits on the 6 modes
+    against the min-goal-distance one-hot + SmoothL1 on the best mode's goal
+    point — no trajectory term. Masked for padding scenarios."""
+    logits = out["pred_logics"]  # [B, K]
+    goals = out["pred_goals"]  # [B, K, 2]
+    gt = batch.gt_preds  # [B, T, 2] agent frame
+    has = batch.has_preds  # [B, T]
+    valid = batch.scen_mask
+    t = gt.shape[1]
+    k = logits.shape[1]
+
+    last = has.astype(jnp.float32) + 0.1 * jnp.arange(t, dtype=jnp.float32) / float(t)
+    last_idcs = jnp.argmax(last, axis=1)  # [B]
+    gt_last = jnp.take_along_axis(gt, last_idcs[:, None, None], axis=1)[:, 0]  # [B, 2]
+
+    dist = jnp.sqrt(jnp.sum(jnp.square(goals - gt_last[:, None, :]), axis=-1))
+    min_idcs = jnp.argmin(dist, axis=1)
+
+    onehot = jax.nn.one_hot(min_idcs, k)
+    bce = jnp.maximum(logits, 0) - logits * onehot + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    cls_loss = jnp.sum(jnp.where(valid[:, None], bce, 0.0))
+    num_cls = jnp.sum(valid.astype(jnp.float32))
+
+    has_goal = jnp.take_along_axis(has, last_idcs[:, None], axis=1)[:, 0] & valid
+    goal_best = jnp.take_along_axis(goals, min_idcs[:, None, None], axis=1)[:, 0]
+    goal_err = smooth_l1(goal_best - gt_last)
+    reg_loss = cfg.reg_coef * jnp.sum(jnp.where(has_goal[:, None], goal_err, 0.0))
+    num_reg = jnp.sum(has_goal.astype(jnp.float32))
+
+    loss = cls_loss / (num_cls + 1e-10) + reg_loss / (num_reg + 1e-10)
+    return {
+        "loss": loss,
+        "cls_loss": cls_loss,
+        "num_cls": num_cls,
+        "reg_loss": reg_loss,
+        "num_reg": num_reg,
+        "goals_to_eval": goal_best,
     }
 
 

@@ -188,3 +188,45 @@ def test_roi_pack_cache_identical_and_picklable(scens):
     assert s_cold == s_warm
     for a, b in zip(jax.tree.leaves(cold), jax.tree.leaves(warm)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_roi_loss_for_goals(batch, forward):
+    """Goal-only loss variant (reference RoiLossForGoals): equals roi_loss
+    minus the trajectory term, finite and differentiable."""
+    from lanegcn_tpu.models.lanercnn import roi_loss_for_goals
+
+    net, params, out = forward
+    cfg = LossConfig()
+    full = roi_loss(out, batch, cfg)
+    goals_only = roi_loss_for_goals(out, batch, cfg)
+    assert np.isfinite(float(goals_only["loss"]))
+    # Same cls + goal terms as the active RoiLoss, no trajectory term.
+    np.testing.assert_allclose(
+        float(goals_only["cls_loss"]), float(full["cls_loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(goals_only["reg_loss"]), float(full["reg_goal_loss"]), rtol=1e-6
+    )
+    assert goals_only["goals_to_eval"].shape == (batch.agt_ctrs.shape[0], 2)
+
+    def loss_fn(p):
+        o = net.apply({"params": p}, batch)
+        return roi_loss_for_goals(o, batch, cfg)["loss"]
+
+    grads = jax.grad(loss_fn)(params)
+    assert all(np.isfinite(float(jnp.sum(g))) for g in jax.tree.leaves(grads))
+
+
+def test_standalone_heads(batch):
+    """PredHead/RefineHead (commented out of the reference Net) exist as
+    standalone modules with the reference output shapes."""
+    from lanegcn_tpu.models.lanercnn import PredHead, RefineHead
+
+    cfg = Config(roi_pack=TINY_ROI)
+    feat = jnp.ones((17, cfg.model.n_actor), jnp.float32)
+    ph = PredHead(cfg.model)
+    out = ph.apply({"params": ph.init(jax.random.PRNGKey(0), feat)["params"]}, feat)
+    assert out.shape == (17, 5)
+    rh = RefineHead(cfg.model)
+    out = rh.apply({"params": rh.init(jax.random.PRNGKey(1), feat)["params"]}, feat)
+    assert out.shape == (17, 6, 30, 2)
