@@ -12,6 +12,7 @@ Run alone — the axon TPU tunnel admits one process at a time.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -34,28 +35,33 @@ from lanegcn_tpu.train.optimizer import make_optimizer
 BASELINE_SCEN_PER_S_PER_CHIP = 235.0 / 4.0
 
 
-def bench_roi_config() -> RoiPackConfig:
-    # 256 scenarios/pack at realistic sizes (~8.5 RoIs and ~570 RoI nodes per
-    # scenario). Intra-lane pre/suc edges live in the band masks; the edge
-    # lists carry only cross-lane residue + left/right. Pool edges (~1.3M)
-    # dominate capacity and HBM (512-scenario packs exceed 15.75G HBM in the
-    # backward pass). Sized from measured synthetic packs so nothing drops.
+def bench_roi_config(scen: int = 512) -> RoiPackConfig:
+    # Realistic sizes: ~8.5 RoIs and ~570 RoI nodes per scenario. Intra-lane
+    # pre/suc edges live in the band masks; the edge lists carry only
+    # cross-lane residue + left/right. Pool edges (~5k/scenario) dominate
+    # capacity and HBM: without remat their per-edge [E, 128] backward
+    # residuals cap packs at 256 scenarios on a 15.75G chip; with the
+    # pooling stages rematerialized (LaneRCNN(remat=True)) 512 fits.
+    # Sized from measured synthetic packs so nothing drops.
+    f = scen // 256
     return RoiPackConfig(
-        max_scenarios=256,
-        max_rois=4096,
-        max_roi_nodes=196608,
-        max_interest_nodes=24576,
-        max_edges_scale0=8192,
-        max_edges_dilated=8192,
-        max_edges_lr=131072,
-        max_a2m_edges=32768,
-        max_pool_edges=2097152,
-        max_a2r_edges=65536,
+        max_scenarios=scen,
+        max_rois=4096 * f,
+        max_roi_nodes=196608 * f,
+        max_interest_nodes=24576 * f,
+        max_edges_scale0=8192 * f,
+        max_edges_dilated=8192 * f,
+        max_edges_lr=131072 * f,
+        max_a2m_edges=32768 * f,
+        max_pool_edges=int(os.environ.get("BENCH_POOL_CAP", 2097152 * f)),
+        max_a2r_edges=65536 * f,
     )
 
 
 def main():
-    config = Config(roi_pack=bench_roi_config())
+    scen = int(os.environ.get("BENCH_SCEN", "256"))
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    config = Config(roi_pack=bench_roi_config(scen))
     num_batches = 2
     scen_per_batch = config.roi_pack.max_scenarios
 
@@ -71,7 +77,7 @@ def main():
         batches.append(jax.tree.map(jnp.asarray, batch))
     print(f"# packed {num_batches}x{scen_per_batch} scenarios ({time.time()-t0:.1f}s host)", file=sys.stderr)
 
-    net = LaneRCNN(config.model, dtype=jnp.bfloat16)
+    net = LaneRCNN(config.model, dtype=jnp.bfloat16, remat=remat)
     params = net.init(jax.random.PRNGKey(0), batches[0])["params"]
     tx, lr_fn = make_optimizer(config.train)
     opt_state = tx.init(params)

@@ -109,11 +109,13 @@ class Interactor(nn.Module):
 
     cfg: ModelConfig
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch: RoiPackedBatch, roi_feat: jax.Array) -> jax.Array:
         g = batch.graph
         n_map = self.cfg.n_map
+        Pool = nn.remat(LanePooling) if self.remat else LanePooling
         emb = Dense(n_map, dtype=self.dtype, name="input_dense")(g.ctrs)
         emb = Linear(n_map, act=False, dtype=self.dtype, name="input_out")(nn.relu(emb))
         seg = Dense(n_map, dtype=self.dtype, name="seg_dense")(g.feats)
@@ -123,13 +125,13 @@ class Interactor(nn.Module):
         roi_pose = batch.node_feats[:, :4]
         graph_pose = jnp.concatenate([g.ctrs, g.feats], axis=-1)
 
-        graph_feat = LanePooling(n_map, dtype=self.dtype, name="roi2graph")(
+        graph_feat = Pool(n_map, dtype=self.dtype, name="roi2graph")(
             roi_feat, roi_pose, graph_input, graph_pose, batch.r2g
         )
         graph_feat = LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="global_graph"
         )(graph_feat, g.edges, g.bands)
-        roi_feat = LanePooling(n_map, dtype=self.dtype, name="graph2roi")(
+        roi_feat = Pool(n_map, dtype=self.dtype, name="graph2roi")(
             graph_feat, graph_pose, roi_feat, roi_pose, batch.g2r
         )
         return roi_feat
@@ -212,6 +214,7 @@ class Decode(nn.Module):
 
     cfg: ModelConfig
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -273,7 +276,8 @@ class Decode(nn.Module):
 
         ctx_pose = jnp.concatenate([traj_pts, traj_dirs], axis=-1)
         tgt_pose = jnp.concatenate([anc_ctrs, anc_dirs], axis=-1)
-        int_feats = LanePooling(self.cfg.n_actor, dtype=self.dtype, name="lane_pool")(
+        PoolD = nn.remat(LanePooling) if self.remat else LanePooling
+        int_feats = PoolD(self.cfg.n_actor, dtype=self.dtype, name="lane_pool")(
             agt_feat, ctx_pose, int_feats, tgt_pose, batch.a2r
         )
 
@@ -331,6 +335,11 @@ class RefineHead(nn.Module):
 class LaneRCNN(nn.Module):
     cfg: ModelConfig
     dtype: Any = jnp.float32
+    # Rematerialize the three LanePooling stages in the backward pass: their
+    # per-edge [E, C] intermediates dominate HBM at large pool-edge
+    # capacities; remat trades one extra pooling forward for not storing
+    # them, roughly doubling the RoI-pack size that fits on a chip.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch: RoiPackedBatch) -> Dict[str, jax.Array]:
@@ -338,13 +347,15 @@ class LaneRCNN(nn.Module):
         feat = LaneRoI(self.cfg, dtype=self.dtype, name="roi_net1")(
             feat, batch.edges, batch.bands
         )
-        feat = Interactor(self.cfg, dtype=self.dtype, name="interactor")(batch, feat)
+        feat = Interactor(
+            self.cfg, dtype=self.dtype, remat=self.remat, name="interactor"
+        )(batch, feat)
         feat = LaneRoI(self.cfg, dtype=self.dtype, name="roi_net2")(
             feat, batch.edges, batch.bands
         )
-        logits, goals, trajs = Decode(self.cfg, dtype=self.dtype, name="decode")(
-            feat, batch
-        )
+        logits, goals, trajs = Decode(
+            self.cfg, dtype=self.dtype, remat=self.remat, name="decode"
+        )(feat, batch)
         return {
             "pred_logics": logits.astype(jnp.float32),
             "pred_goals": goals.astype(jnp.float32),

@@ -95,3 +95,67 @@ def sort_edges_by_destination(u, v, mask, num_segments):
     key = jnp.where(mask, u, num_segments)
     order = jnp.argsort(key, stable=True)
     return key[order], v[order], mask[order], order
+
+
+def _ssum_fwd(data, seg_ids, num_segments, block_rows, max_edges_per_block, interpret):
+    out = sorted_segment_sum(
+        data, seg_ids, num_segments,
+        block_rows=block_rows,
+        max_edges_per_block=max_edges_per_block,
+        interpret=interpret,
+    )
+    return out, seg_ids
+
+
+def _ssum_bwd(num_segments, block_rows, max_edges_per_block, interpret, seg_ids, cot):
+    # d/d data of out[seg[e]] += data[e] is cot[seg[e]]; dropped edges
+    # (seg >= num_segments) get zero cotangent.
+    safe = jnp.clip(seg_ids, 0, num_segments - 1)
+    d = jnp.take(cot, safe, axis=0)
+    d = jnp.where((seg_ids < num_segments)[:, None], d, 0)
+    return (d, None)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _sorted_segment_sum_ad(
+    data, seg_ids, num_segments, block_rows, max_edges_per_block, interpret
+):
+    return sorted_segment_sum(
+        data, seg_ids, num_segments,
+        block_rows=block_rows,
+        max_edges_per_block=max_edges_per_block,
+        interpret=interpret,
+    )
+
+
+_sorted_segment_sum_ad.defvjp(_ssum_fwd, _ssum_bwd)
+
+
+def scatter_add_sorted(
+    data: jax.Array,
+    idx: jax.Array,
+    num_segments: int,
+    mask: jax.Array | None = None,
+    out: jax.Array | None = None,
+    block_rows: int = 128,
+    max_edges_per_block: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in for ops.scatter.scatter_add when ``idx`` is non-decreasing
+    (destination-sorted edge lists, emitted by the packer's sort_edges
+    option). Runs the Pallas block segment-sum on the forward pass and a
+    gather on the backward. Masked edges must carry idx == num_segments
+    (the packer's sorted layout routes padding to the end); a boolean mask
+    is accepted for API parity and folded into the index."""
+    if mask is not None:
+        idx = jnp.where(mask, idx, num_segments)
+    res = _sorted_segment_sum_ad(
+        data, idx.astype(jnp.int32), num_segments, block_rows,
+        max_edges_per_block, interpret,
+    )
+    if out is not None:
+        res = out + res.astype(out.dtype)
+    return res

@@ -230,3 +230,24 @@ def test_standalone_heads(batch):
     rh = RefineHead(cfg.model)
     out = rh.apply({"params": rh.init(jax.random.PRNGKey(1), feat)["params"]}, feat)
     assert out.shape == (17, 6, 30, 2)
+
+
+def test_remat_pooling_parity(batch, forward):
+    """remat=True (pooling stages rematerialized in backward) must produce
+    identical outputs and near-identical gradients to remat=False."""
+    net, params, out = forward
+    cfg = Config(roi_pack=TINY_ROI)
+    net_r = LaneRCNN(cfg.model, remat=True)
+    out_r = net_r.apply({"params": params}, batch)
+    for k in out:
+        np.testing.assert_allclose(out_r[k], out[k], rtol=1e-6, atol=1e-6)
+
+    def loss_fn(n):
+        def f(p):
+            return roi_loss(n.apply({"params": p}, batch), batch, LossConfig())["loss"]
+        return f
+
+    g0 = jax.grad(loss_fn(net))(params)
+    g1 = jax.grad(loss_fn(net_r))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

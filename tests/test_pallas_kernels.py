@@ -54,3 +54,40 @@ def test_sort_edges_by_destination_helper():
     assert su.tolist() == [1, 2, 5, 8]  # masked edge routed to seg 8 at the end
     assert sv.tolist() == [11, 13, 10, 12]
     assert sm.tolist() == [True, True, True, False]
+
+
+def test_scatter_add_sorted_autodiff():
+    """Custom-VJP wrapper: forward matches scatter_add, gradient is the
+    masked gather of the cotangent, out= accumulates."""
+    import jax
+    import jax.numpy as jnp
+
+    from lanegcn_tpu.ops import scatter_add
+    from lanegcn_tpu.ops.pallas_scatter import scatter_add_sorted
+
+    rng = np.random.RandomState(3)
+    n, e, c = 96, 300, 16
+    seg = np.sort(rng.randint(0, n, e)).astype(np.int32)
+    mask = np.ones(e, bool)
+    mask[-32:] = False
+    seg_m = np.where(mask, seg, n).astype(np.int32)  # padding routed to end
+    data = jnp.asarray(rng.randn(e, c).astype(np.float32))
+    w = jnp.asarray(rng.randn(n, c).astype(np.float32))
+
+    def f_sorted(d):
+        return jnp.sum(scatter_add_sorted(d, jnp.asarray(seg_m), n, interpret=True) * w)
+
+    def f_xla(d):
+        return jnp.sum(scatter_add(d, jnp.asarray(seg), n, mask=jnp.asarray(mask)) * w)
+
+    np.testing.assert_allclose(f_sorted(data), f_xla(data), rtol=1e-5)
+    g_s = jax.grad(f_sorted)(data)
+    g_x = jax.grad(f_xla)(data)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_x), rtol=1e-5, atol=1e-6)
+    # masked edges get zero gradient
+    assert (np.asarray(g_s)[~mask] == 0).all()
+
+    out0 = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    a = scatter_add_sorted(data, jnp.asarray(seg_m), n, out=out0, interpret=True)
+    b = scatter_add(data, jnp.asarray(seg), n, mask=jnp.asarray(mask), out=out0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
