@@ -32,60 +32,88 @@ def sorted_segment_sum(
     """Segment-sum for destination-sorted edges.
 
     max_edges_per_block bounds the edge window each destination block reads
-    (must cover the densest block; defaults to E — always correct). Edges
-    whose window spills into a neighbor block are masked by the per-block
-    edge count, so overlap is harmless.
+    (must cover the densest block; defaults to E — always correct). Each
+    block DMAs a 128-aligned window of edges from HBM into VMEM, then
+    reduces with one MXU matmul: onehot[row, e] = (seg[e] − b·rows == row),
+    contracted with the message rows. Out-of-block edges in the window can
+    never match a row, so window overlap is harmless; drop edges
+    (seg == num_segments) land on the sliced-off padding row.
     """
     e, c = data.shape
     num_blocks = pl.cdiv(num_segments, block_rows)
     mepb = max_edges_per_block or e
+    # Window = aligned start slack + edges, rounded to the 1-D int32 DMA
+    # tiling (1024 elements); dim-0 of the 2-D data slice needs only 8.
+    align = 1024
+    w = int(-(-(mepb + align) // align) * align)
 
+    seg_ids = seg_ids.astype(jnp.int32)
     block_of_edge = seg_ids // block_rows
     block_starts = jnp.searchsorted(
-        block_of_edge, jnp.arange(num_blocks + 1, dtype=seg_ids.dtype)
+        block_of_edge, jnp.arange(num_blocks, dtype=jnp.int32)
     ).astype(jnp.int32)
-    local_row = (seg_ids - block_of_edge * block_rows).astype(jnp.int32)
 
-    # Pad so every window read stays in bounds.
-    data_p = jnp.pad(data, ((0, mepb), (0, 0)))
-    local_p = jnp.pad(local_row, (0, mepb), constant_values=block_rows)[:, None]
+    # Pad so every window read stays in bounds; pad seg with num_segments
+    # (matches only the sliced-off row, and only against zero-padded data).
+    data_p = jnp.pad(data, ((0, w), (0, 0)))
+    seg_p = jnp.pad(seg_ids, (0, w), constant_values=num_segments)
 
-    def kernel(starts_ref, local_ref, data_ref, out_ref):
+    def kernel(starts_ref, seg_ref, data_ref, out_ref, seg_s, data_s, sems):
         b = pl.program_id(0)
         start = starts_ref[b]
-        num = starts_ref[b + 1] - start
+        sa = (start // 1024) * 1024  # DMA offset aligned to 1-D tiling
 
-        rows = data_ref[pl.ds(start, mepb), :]  # [mepb, C]
-        loc = local_ref[pl.ds(start, mepb), :]  # [mepb, 1]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (mepb, 1), 0)
-        valid = pos < num
-        onehot = (
-            (loc == jax.lax.broadcasted_iota(jnp.int32, (mepb, block_rows), 1)) & valid
-        ).astype(rows.dtype)
+        # Inputs live in HBM (pltpu.ANY): DMA the block's edge window to VMEM.
+        cp_d = pltpu.make_async_copy(data_ref.at[pl.ds(sa, w)], data_s, sems.at[0])
+        cp_s = pltpu.make_async_copy(seg_ref.at[pl.ds(sa, w)], seg_s, sems.at[1])
+        cp_d.start()
+        cp_s.start()
+        cp_d.wait()
+        cp_s.wait()
+
+        loc = seg_s[:] - b * block_rows  # [W]; in [0, block_rows) iff ours
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (block_rows, w), 0)
+        onehot = (loc[None, :] == row_iota).astype(data_s.dtype)
+        # f32 path needs HIGHEST: the MXU's default bf16 multiply would round
+        # the f32 messages (the one-hot operand makes this a pure selection,
+        # so full precision costs only the extra f32 passes). bf16 inputs are
+        # exact under DEFAULT — and Mosaic rejects fp32 contract precision on
+        # bf16 operands — so gate on dtype; accumulation is f32 either way.
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if data_s.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
         out_ref[:, :] = jax.lax.dot_general(
             onehot,
-            rows,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            data_s[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec,
         ).astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # local ids (windowed reads)
-            pl.BlockSpec(memory_space=pl.ANY),  # messages (windowed reads)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # seg ids (windowed DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # messages (windowed DMA)
         ],
         out_specs=pl.BlockSpec(
             (block_rows, c), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((w,), jnp.int32),
+            pltpu.VMEM((w, c), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((int(num_blocks) * block_rows, c), data.dtype),
         interpret=interpret,
-    )(block_starts, local_p, data_p)
+    )(block_starts, seg_p, data_p)
     return out[:num_segments]
 
 
