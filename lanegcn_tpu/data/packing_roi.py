@@ -342,7 +342,7 @@ def pack_roi_batch(
         band_cat = np.zeros((0, 2 * model_cfg.num_scales), bool)
         a2m_u = a2m_v = pool_ru = pool_gv = a2r_u = a2r_v = np.zeros(0, np.int64)
 
-    graph_batch, gstats = pack_batch(used, gcfg, model_cfg)
+    graph_batch, gstats = pack_batch(used, gcfg, model_cfg, split_bands=split_bands)
     assert gstats["packed_scenarios"] == si, (gstats, si)
     for k, v in gstats.items():
         # Fusion edges of the global-graph packer are unused by LaneRCNN
