@@ -84,7 +84,54 @@ def _default_config(args):
     return Config(pack=pack, roi_pack=roi_pack, train=TrainConfig(batch_size=b))
 
 
+def _snapshot_run(save_dir: str, args, config) -> None:
+    """Provenance snapshot into save_dir/files: the package source plus the
+    resolved config / argv / library versions (framework equivalent of the
+    reference copying its *.py into save_dir, train.py:108-115)."""
+    import dataclasses
+    import json
+    import shutil
+    import subprocess
+
+    import jax
+
+    files_dir = os.path.join(save_dir, "files")
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    dst = os.path.join(files_dir, "lanegcn_tpu")
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(pkg_root, dst, ignore=shutil.ignore_patterns("__pycache__", "*.so"))
+    rev = None
+    try:
+        rev = subprocess.check_output(
+            ["git", "-C", os.path.dirname(pkg_root), "rev-parse", "HEAD"],
+            stderr=subprocess.DEVNULL, text=True,
+        ).strip()
+    except Exception:
+        pass
+    with open(os.path.join(files_dir, "run.json"), "w") as f:
+        json.dump(
+            {
+                "argv": sys.argv,
+                "config": dataclasses.asdict(config),
+                "git_rev": rev,
+                "jax": jax.__version__,
+            },
+            f, indent=2, default=str,
+        )
+
+
+def _parse_mesh(spec):
+    """'4' → (4, 1) data mesh; '4x2' → (data=4, graph=2)."""
+    parts = str(spec).lower().split("x")
+    data = int(parts[0])
+    graph = int(parts[1]) if len(parts) > 1 else 1
+    return data, graph
+
+
 def cmd_train(args):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -101,25 +148,63 @@ def cmd_train(args):
     config = _default_config(args)
     bundle = get_model(args.model, config)
     config = bundle.config  # model factories may adjust (e.g. AdamW)
+    if args.seed is not None:
+        config = dataclasses.replace(
+            config, train=dataclasses.replace(config.train, seed=args.seed)
+        )
+    if args.save_dir:
+        _snapshot_run(args.save_dir, args, config)
     dataset = _parse_data(args.data, args.model)
     if args.rot_aug:
         from lanegcn_tpu.data.augment import RotationAugment
 
         dataset = RotationAugment(dataset, seed=config.train.seed)
-    loader = _make_loader(dataset, config, args.model, shuffle=True, seed=config.train.seed)
-    steps_per_epoch = loader.steps_per_epoch()
+    loader = _make_loader(
+        dataset, config, args.model,
+        shuffle=True, seed=config.train.seed, pack_workers=args.workers,
+    )
+
+    mesh = None
+    if args.mesh:
+        from lanegcn_tpu.parallel import (
+            graph_batch_shardings,
+            make_mesh_2d,
+            make_parallel_train_step,
+            stack_packs,
+        )
+
+        data_n, graph_n = _parse_mesh(args.mesh)
+        mesh = make_mesh_2d(data=data_n, graph=graph_n)
+        print(f"mesh: data={data_n} x graph={graph_n} on "
+              f"{[d.platform for d in mesh.devices.flat][0]}")
+    else:
+        data_n = 1
+    # One optimizer step consumes data_n packs (one per data-mesh slot).
+    steps_per_epoch = max(loader.steps_per_epoch() // data_n, 1)
+
+    def global_batches(epoch_i):
+        """Yield per-step batches: single packs, or stacked groups of data_n."""
+        group = []
+        for b in loader.epoch(epoch_i):
+            if mesh is None:
+                yield jax.tree.map(jnp.asarray, b)
+                continue
+            group.append(b)
+            if len(group) == data_n:
+                yield stack_packs(group)
+                group = []
 
     sample = None
-    for b in loader.epoch(0):
-        sample = jax.tree.map(jnp.asarray, b)
+    for b in global_batches(0):
+        sample = b
         break
+    init_sample = (
+        jax.tree.map(lambda x: jnp.asarray(x[0]), sample) if mesh is not None else sample
+    )
     net = bundle.net
     if args.bf16:
-        import dataclasses as _dc
-        import jax.numpy as _jnp
-
-        net = _dc.replace(net, dtype=_jnp.bfloat16)
-    params = net.init(jax.random.PRNGKey(config.train.seed), sample)["params"]
+        net = dataclasses.replace(net, dtype=jnp.bfloat16)
+    params = net.init(jax.random.PRNGKey(config.train.seed), init_sample)["params"]
     tx, lr_fn = make_optimizer(config.train)
     opt_state = tx.init(params)
     start_epoch = 0.0
@@ -131,24 +216,47 @@ def cmd_train(args):
         start_epoch = ck["epoch"]
         print(f"resumed from {args.resume} at epoch {start_epoch:.3f}")
 
-    train_step = make_train_step(
-        config, net, tx, lr_fn, bundle.loss_fn, bundle.metrics_fn
-    )
+    if mesh is None:
+        train_step = make_train_step(
+            config, net, tx, lr_fn, bundle.loss_fn, bundle.metrics_fn
+        )
+    else:
+        shardings = graph_batch_shardings(mesh, sample)
+        train_step = make_parallel_train_step(
+            config, net, tx, lr_fn, mesh, bundle.loss_fn, bundle.metrics_fn,
+            batch_shardings=shardings,
+        )
     eval_step = make_eval_step(config, net, bundle.loss_fn, bundle.metrics_fn)
+    val_dataset = _parse_data(args.val_data, args.model) if args.val_data else None
     acc = MetricAccumulator()
     step = int(start_epoch * steps_per_epoch)
+    save_freq = args.save_freq if args.save_freq is not None else config.train.save_freq
+    next_save = (int(start_epoch / save_freq) + 1) * save_freq if save_freq else None
+    next_val = (
+        (int(start_epoch / args.val_every) + 1) * args.val_every
+        if (args.val_every and val_dataset is not None) else None
+    )
     t0 = time.time()
     num_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
     print(f"model {args.model}: {num_params:,} params, "
           f"{steps_per_epoch} steps/epoch on {jax.devices()[0].platform}")
+    profiling = False
+    last_val_step = -1
 
     for epoch_i in range(int(start_epoch), args.epochs):
-        for b in loader.epoch(epoch_i):
-            batch = jax.tree.map(jnp.asarray, b)
+        for batch in global_batches(epoch_i):
+            if args.profile and step == 5:
+                jax.profiler.start_trace(args.profile)
+                profiling = True
             epoch = step / steps_per_epoch
             params, opt_state, metrics = train_step(params, opt_state, batch, epoch)
             acc.update(metrics)
             step += 1
+            if profiling and step >= 10:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"wrote profiler trace to {args.profile}")
             if step % args.display_every == 0:
                 s = acc.summary()
                 print(
@@ -160,14 +268,21 @@ def cmd_train(args):
                 )
                 acc.reset()
                 t0 = time.time()
-        if args.save_dir:
-            path = os.path.join(args.save_dir, "%3.3f.ckpt" % (epoch_i + 1.0))
-            save_checkpoint(path, params, opt_state, step, epoch_i + 1.0)
-            print(f"saved {path}")
+            epoch_now = step / steps_per_epoch
+            if args.save_dir and next_save is not None and epoch_now >= next_save:
+                path = os.path.join(args.save_dir, "%3.3f.ckpt" % epoch_now)
+                save_checkpoint(path, params, opt_state, step, epoch_now)
+                print(f"saved {path}")
+                next_save += save_freq
+            if next_val is not None and epoch_now >= next_val:
+                _run_eval(config, bundle, params, val_dataset, eval_step)
+                last_val_step = step
+                next_val += args.val_every
+    if profiling:
+        jax.profiler.stop_trace()
 
-    if args.val_data:
-        _run_eval(config, bundle, params,
-                  _parse_data(args.val_data, args.model), eval_step)
+    if val_dataset is not None and last_val_step != step:
+        _run_eval(config, bundle, params, val_dataset, eval_step)
 
 
 def _run_eval(config, bundle, params, dataset, eval_step=None, submission=None):
@@ -278,6 +393,21 @@ def main(argv=None):
                     help="random rotation augmentation (reference rot_aug)")
     pt.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (fp32 params/normalization)")
+    pt.add_argument("--seed", type=int, default=None,
+                    help="training seed (reference per-rank seeding)")
+    pt.add_argument("--save-freq", type=float, default=None,
+                    help="checkpoint every N (fractional) epochs "
+                         "(reference save_freq)")
+    pt.add_argument("--val-every", type=float, default=0.0,
+                    help="run validation every N (fractional) epochs "
+                         "(reference val_iters)")
+    pt.add_argument("--workers", type=int, default=1,
+                    help="background packing threads (PackedLoader)")
+    pt.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of steps 5-10 to DIR")
+    pt.add_argument("--mesh", default=None, metavar="DxG",
+                    help="device mesh, e.g. 4 (data) or 4x2 (data x graph); "
+                         "default single-device")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("eval")

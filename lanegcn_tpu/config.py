@@ -117,6 +117,9 @@ class TrainConfig:
     display_iters: int = 205942
     val_iters: int = 411884
     seed: int = 0
+    # (param-path-prefix, coef) per-group lr scaling rules; first match wins,
+    # unmatched params get 1.0 (reference Optimizer coef, utils.py:99-147).
+    lr_coef: Tuple[Tuple[str, float], ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -7,6 +7,11 @@
   optional AdamW weight decay; optional elementwise gradient clipping to
   [clip_low, clip_high] (the reference clips gradient *values*, not norms —
   utils.py:150-159).
+- Per-group lr coefficients (the reference's `Optimizer(params, config, coef)`
+  scales each param group's lr by coef[i] — utils.py:99-147): expressed here
+  as (param-path-prefix, coef) rules in TrainConfig.lr_coef, applied as a
+  per-leaf scale on the update direction (equivalent for elementwise
+  optimizers since lr enters each leaf's update linearly).
 """
 
 from __future__ import annotations
@@ -41,6 +46,46 @@ def step_lr(lrs: Sequence[float], boundaries: Sequence[float]) -> Callable:
         return lr
 
     return lr_fn
+
+
+def _leaf_path(path) -> str:
+    """Render a tree path as 'a/b/c' (flax param dicts → module/.../kernel)."""
+    parts = []
+    for k in path:
+        parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
+    return "/".join(parts)
+
+
+def coef_tree(params, rules: Sequence[Tuple[str, float]]):
+    """Per-leaf lr coefficient from (path-prefix, coef) rules; first matching
+    rule wins, unmatched leaves get 1.0 (reference coef=None ⇒ [1.0]*groups,
+    utils.py:103-110)."""
+
+    def coef_for(path, leaf):
+        del leaf
+        p = _leaf_path(path)
+        for prefix, c in rules:
+            if p.startswith(prefix):
+                return float(c)
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(coef_for, params)
+
+
+def _scale_by_coef(rules: Sequence[Tuple[str, float]]) -> optax.GradientTransformation:
+    """Per-leaf update scaling for the per-leaf optax path (sgd)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        coefs = coef_tree(updates, rules)
+        updates = jax.tree.map(lambda u, c: u * c, updates, coefs)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _clip_elementwise(low: float, high: float) -> optax.GradientTransformation:
@@ -83,8 +128,22 @@ class FusedOptimizer:
 
 
 def _make_fused_adam(
-    wd: float, clip: Optional[Tuple[float, float]], b1=0.9, b2=0.999, eps=1e-8
+    wd: float,
+    clip: Optional[Tuple[float, float]],
+    b1=0.9,
+    b2=0.999,
+    eps=1e-8,
+    coef_rules: Sequence[Tuple[str, float]] = (),
 ) -> FusedOptimizer:
+    def flat_coef(params):
+        """[P] per-element lr coefficient in ravel order (constant-folded by
+        XLA — coefs are trace-time constants)."""
+        coefs = coef_tree(params, coef_rules)
+        full = jax.tree.map(
+            lambda p, c: jnp.full(p.shape, c, jnp.float32), params, coefs
+        )
+        return ravel_pytree(full)[0]
+
     def direction(flat_g, state, flat_p):
         """Ascent direction u (caller applies -lr·u), matching
         optax.scale_by_adam (+ add_decayed_weights) bias-corrected math."""
@@ -111,12 +170,16 @@ def _make_fused_adam(
         flat_g, unravel = ravel_pytree(updates)
         flat_p = ravel_pytree(params)[0] if params is not None else 0.0
         u, state = direction(flat_g, state, flat_p)
+        if coef_rules:
+            u = u * flat_coef(params if params is not None else updates)
         return unravel(u), state
 
     def fused_apply(params, grads, state, lr):
         flat_p, unravel = ravel_pytree(params)
         flat_g, _ = ravel_pytree(grads)
         u, state = direction(flat_g, state, flat_p)
+        if coef_rules:
+            u = u * flat_coef(params)
         return unravel(flat_p - lr * u), state
 
     return FusedOptimizer(init=init_fn, update=update_fn, fused_apply=fused_apply)
@@ -137,11 +200,13 @@ def make_optimizer(cfg: TrainConfig) -> Tuple[optax.GradientTransformation, Call
     if cfg.opt in ("adam", "adamw"):
         wd = cfg.weight_decay if cfg.opt == "adam" else (cfg.weight_decay or 0.01)
         clip = (cfg.clip_low, cfg.clip_high) if cfg.clip_grads else None
-        return _make_fused_adam(wd or 0.0, clip), lr_fn
+        return _make_fused_adam(wd or 0.0, clip, coef_rules=cfg.lr_coef), lr_fn
     elif cfg.opt == "sgd":
         chain.append(optax.trace(decay=0.9))
     else:
         raise ValueError(f"unknown optimizer {cfg.opt!r}")
+    if cfg.lr_coef:
+        chain.append(_scale_by_coef(cfg.lr_coef))
 
     return optax.chain(*chain), lr_fn
 

@@ -104,3 +104,37 @@ def test_small_model_overfits_bf16():
         params, opt, m = step(params, opt, batches[i % 2], i / 100.0)
         losses.append(float(m["loss"]))
     assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+
+def test_per_group_lr_coef():
+    """TrainConfig.lr_coef scales each matching param's update by coef,
+    exactly like the reference's per-group lr = lr_func(epoch)*coef[i]
+    (reference utils.py:99-147). Adam is elementwise, so the coef-scaled
+    update must equal coef × the unscaled update leaf-for-leaf."""
+    import dataclasses
+
+    from lanegcn_tpu.config import TrainConfig
+    from lanegcn_tpu.train.optimizer import make_optimizer, optimizer_step
+
+    params = {
+        "head": {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))},
+        "body": {"w": jnp.full((2, 2), 2.0)},
+    }
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+
+    base_cfg = TrainConfig(opt="adam")
+    coef_cfg = dataclasses.replace(base_cfg, lr_coef=(("head", 0.1),))
+
+    tx0, _ = make_optimizer(base_cfg)
+    tx1, _ = make_optimizer(coef_cfg)
+    lr = 1e-2
+    p0, _ = optimizer_step(tx0, params, grads, tx0.init(params), lr)
+    p1, _ = optimizer_step(tx1, params, grads, tx1.init(params), lr)
+
+    for leaf in ("w", "b"):
+        du0 = np.asarray(p0["head"][leaf] - params["head"][leaf])
+        du1 = np.asarray(p1["head"][leaf] - params["head"][leaf])
+        np.testing.assert_allclose(du1, 0.1 * du0, rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(p1["body"]["w"]), np.asarray(p0["body"]["w"]), rtol=1e-7
+    )
