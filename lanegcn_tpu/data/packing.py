@@ -124,7 +124,7 @@ def precompute_pack_cache(scen: Dict, model_cfg: ModelConfig) -> Dict:
         [
             np.asarray(g["ctrs"], np.float32),
             np.asarray(g["feats"], np.float32),
-            np.asarray(g["turn"], np.float32).reshape(nn, -1),
+            np.asarray(g["turn"], np.float32).reshape(nn, 2),
             np.asarray(g["control"], np.float32).reshape(nn, 1),
             np.asarray(g["intersect"], np.float32).reshape(nn, 1),
         ],
