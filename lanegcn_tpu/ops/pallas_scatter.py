@@ -9,8 +9,13 @@ rows [E_blk, C], accumulated entirely in VMEM — one HBM write per output row
 instead of one read-modify-write per edge.
 
 ops.scatter.scatter_add remains the general-case default; this kernel is the
-speed-of-light path when the sorted invariant holds. Deterministic by
-construction either way.
+speed-of-light path for dense-degree segment reductions. Measured head-to-head
+at LaneGCN production sizes (196k edges x 128 ch into 393k nodes, ~0.5
+edges/row), XLA's native scatter wins (bf16 fwd 3.0 ms vs 4.7 ms) because the
+edge window must cover the densest block, so degree skew makes every block pay
+worst-case one-hot FLOPs while the op is memory-bound — hence the models keep
+scatter_add (see docs/PERFORMANCE.md). Deterministic by construction either
+way.
 """
 
 from __future__ import annotations
