@@ -139,6 +139,7 @@ def cmd_train(args):
     from lanegcn_tpu.train.checkpoint import load_checkpoint, load_pretrain, save_checkpoint
     from lanegcn_tpu.train.loop import MetricAccumulator, make_eval_step, make_train_step
     from lanegcn_tpu.train.optimizer import make_optimizer
+    from lanegcn_tpu.train.preempt import PreemptionGuard
     from lanegcn_tpu.utils.logger import TeeLogger
 
     if args.save_dir:
@@ -243,41 +244,54 @@ def cmd_train(args):
     profiling = False
     last_val_step = -1
 
-    for epoch_i in range(int(start_epoch), args.epochs):
-        for batch in global_batches(epoch_i):
-            if args.profile and step == 5:
-                jax.profiler.start_trace(args.profile)
-                profiling = True
-            epoch = step / steps_per_epoch
-            params, opt_state, metrics = train_step(params, opt_state, batch, epoch)
-            acc.update(metrics)
-            step += 1
-            if profiling and step >= 10:
-                jax.block_until_ready(metrics["loss"])
-                jax.profiler.stop_trace()
-                profiling = False
-                print(f"wrote profiler trace to {args.profile}")
-            if step % args.display_every == 0:
-                s = acc.summary()
-                print(
-                    f"epoch {epoch:.3f} lr {float(metrics['lr']):.5f} "
-                    f"loss {s['loss']:.4f} {s['cls']:.4f} {s['reg']:.4f}, "
-                    f"ade1 {s['ade1']:.4f}, fde1 {s['fde1']:.4f}, "
-                    f"ade {s['ade']:.4f}, fde {s['fde']:.4f}, "
-                    f"time {time.time() - t0:.2f}"
-                )
-                acc.reset()
-                t0 = time.time()
-            epoch_now = step / steps_per_epoch
-            if args.save_dir and next_save is not None and epoch_now >= next_save:
-                path = os.path.join(args.save_dir, "%3.3f.ckpt" % epoch_now)
-                save_checkpoint(path, params, opt_state, step, epoch_now)
-                print(f"saved {path}")
-                next_save += save_freq
-            if next_val is not None and epoch_now >= next_val:
-                _run_eval(config, bundle, params, val_dataset, eval_step)
-                last_val_step = step
-                next_val += args.val_every
+    with PreemptionGuard() as guard:
+        for epoch_i in range(int(start_epoch), args.epochs):
+            for batch in global_batches(epoch_i):
+                if args.profile and step == 5:
+                    jax.profiler.start_trace(args.profile)
+                    profiling = True
+                epoch = step / steps_per_epoch
+                params, opt_state, metrics = train_step(params, opt_state, batch, epoch)
+                acc.update(metrics)
+                step += 1
+                if profiling and step >= 10:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"wrote profiler trace to {args.profile}")
+                if step % args.display_every == 0:
+                    s = acc.summary()
+                    print(
+                        f"epoch {epoch:.3f} lr {float(metrics['lr']):.5f} "
+                        f"loss {s['loss']:.4f} {s['cls']:.4f} {s['reg']:.4f}, "
+                        f"ade1 {s['ade1']:.4f}, fde1 {s['fde1']:.4f}, "
+                        f"ade {s['ade']:.4f}, fde {s['fde']:.4f}, "
+                        f"time {time.time() - t0:.2f}"
+                    )
+                    acc.reset()
+                    t0 = time.time()
+                epoch_now = step / steps_per_epoch
+                if guard.triggered:
+                    # Preempted: write a resumable checkpoint and exit cleanly
+                    # (the reference would just die; --resume continues here).
+                    if args.save_dir:
+                        path = os.path.join(args.save_dir, "%3.3f.ckpt" % epoch_now)
+                        save_checkpoint(path, params, opt_state, step, epoch_now)
+                        print(f"{guard.signal_name}: saved {path}, exiting")
+                    else:
+                        print(f"{guard.signal_name}: no --save-dir, exiting")
+                    if profiling:
+                        jax.profiler.stop_trace()
+                    return
+                if args.save_dir and next_save is not None and epoch_now >= next_save:
+                    path = os.path.join(args.save_dir, "%3.3f.ckpt" % epoch_now)
+                    save_checkpoint(path, params, opt_state, step, epoch_now)
+                    print(f"saved {path}")
+                    next_save += save_freq
+                if next_val is not None and epoch_now >= next_val:
+                    _run_eval(config, bundle, params, val_dataset, eval_step)
+                    last_val_step = step
+                    next_val += args.val_every
     if profiling:
         jax.profiler.stop_trace()
 

@@ -120,6 +120,10 @@ class TrainConfig:
     # (param-path-prefix, coef) per-group lr scaling rules; first match wins,
     # unmatched params get 1.0 (reference Optimizer coef, utils.py:99-147).
     lr_coef: Tuple[Tuple[str, float], ...] = ()
+    # Skip the optimizer update (params + moments bitwise unchanged) when the
+    # loss or any gradient is non-finite. Failure detection the reference
+    # lacks; a scalar select in the step, no host sync.
+    nan_guard: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

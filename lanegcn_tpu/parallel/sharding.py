@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lanegcn_tpu.config import Config
 from lanegcn_tpu.graph import PackedBatch
 from lanegcn_tpu.models.lanegcn import agent_metrics, pred_loss
-from lanegcn_tpu.train.optimizer import apply_lr, optimizer_step
+from lanegcn_tpu.train.optimizer import apply_lr, guarded_optimizer_step, optimizer_step
 
 
 def make_mesh(devices: Sequence[jax.Device] | None = None, data: int | None = None) -> Mesh:
@@ -118,10 +118,21 @@ def make_parallel_train_step(
         metrics["loss"] = jnp.mean(loss)
         return jnp.mean(loss), metrics
 
+    guard = config.train.nan_guard
+
     def train_step(params, opt_state, batch, epoch):
         (_, metrics), grads = jax.value_and_grad(mean_loss, has_aux=True)(params, batch)
         lr = lr_fn(epoch)
-        params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
+        if guard:
+            # Grads are already psum-reduced (replicated), so ok is identical
+            # on every device — the skip decision is globally consistent with
+            # no extra collective.
+            params, opt_state, ok = guarded_optimizer_step(
+                tx, params, grads, opt_state, lr, metrics["loss"]
+            )
+            metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
+        else:
+            params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
         metrics["lr"] = lr
         return params, opt_state, metrics
 

@@ -17,7 +17,11 @@ import jax.numpy as jnp
 from lanegcn_tpu.config import Config
 from lanegcn_tpu.graph import PackedBatch
 from lanegcn_tpu.models.lanegcn import LaneGCN, agent_metrics, pred_loss
-from lanegcn_tpu.train.optimizer import make_optimizer, optimizer_step
+from lanegcn_tpu.train.optimizer import (
+    guarded_optimizer_step,
+    make_optimizer,
+    optimizer_step,
+)
 
 
 class TrainState:
@@ -51,12 +55,20 @@ def make_train_step(
         losses = loss_fn(out, batch, config.loss)
         return losses["loss"], (losses, out)
 
+    guard = config.train.nan_guard
+
     @jax.jit
     def train_step(params, opt_state, batch, epoch):
         (_, (losses, out)), grads = jax.value_and_grad(objective, has_aux=True)(params, batch)
         lr = lr_fn(epoch)
-        params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
         metrics = dict(losses)
+        if guard:
+            params, opt_state, ok = guarded_optimizer_step(
+                tx, params, grads, opt_state, lr, losses["loss"]
+            )
+            metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
+        else:
+            params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
         metrics.update(metrics_fn(out, batch))
         metrics["lr"] = lr
         return params, opt_state, metrics
@@ -83,6 +95,8 @@ def make_multi_train_step(
         losses = loss_fn(out, batch, config.loss)
         return losses["loss"], (losses, out)
 
+    guard = config.train.nan_guard
+
     @jax.jit
     def multi_step(params, opt_state, batches, epoch0, d_epoch):
         def body(carry, batch):
@@ -92,8 +106,14 @@ def make_multi_train_step(
                 params, batch
             )
             lr = lr_fn(epoch)
-            params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
             metrics = dict(losses)
+            if guard:
+                params, opt_state, ok = guarded_optimizer_step(
+                    tx, params, grads, opt_state, lr, losses["loss"]
+                )
+                metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
+            else:
+                params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
             metrics.update(metrics_fn(out, batch))
             metrics["lr"] = lr
             return (params, opt_state, i + 1.0), metrics

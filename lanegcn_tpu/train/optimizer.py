@@ -174,13 +174,26 @@ def _make_fused_adam(
             u = u * flat_coef(params if params is not None else updates)
         return unravel(u), state
 
-    def fused_apply(params, grads, state, lr):
+    def fused_apply(params, grads, state, lr, ok=None):
+        """One flat-domain update; when `ok` (scalar bool) is given, a False
+        step leaves params AND moments bitwise unchanged (non-finite-grad
+        guard — the whole select happens on the flat buffers, so the guard
+        adds three [P]-wide selects, not per-leaf ops)."""
         flat_p, unravel = ravel_pytree(params)
         flat_g, _ = ravel_pytree(grads)
-        u, state = direction(flat_g, state, flat_p)
+        u, new_state = direction(flat_g, state, flat_p)
         if coef_rules:
             u = u * flat_coef(params)
-        return unravel(flat_p - lr * u), state
+        flat_new = flat_p - lr * u
+        if ok is None:
+            return unravel(flat_new), new_state
+        flat_new = jnp.where(ok, flat_new, flat_p)
+        state = FusedAdamState(
+            count=jnp.where(ok, new_state.count, state.count),
+            mu=jnp.where(ok, new_state.mu, state.mu),
+            nu=jnp.where(ok, new_state.nu, state.nu),
+        )
+        return unravel(flat_new), state
 
     return FusedOptimizer(init=init_fn, update=update_fn, fused_apply=fused_apply)
 
@@ -225,3 +238,33 @@ def optimizer_step(tx, params, grads, opt_state, lr):
     updates, opt_state = tx.update(grads, opt_state, params)
     params = jax.tree.map(lambda p, u: p + u, params, apply_lr(updates, lr))
     return params, opt_state
+
+
+def grads_finite(grads, *scalars) -> jax.Array:
+    """Scalar bool: every gradient element (and every extra scalar, e.g. the
+    loss) is finite. One [P]-wide reduction in the flat domain; XLA CSEs the
+    ravel with the fused optimizer's own."""
+    flat_g, _ = ravel_pytree(grads)
+    ok = jnp.all(jnp.isfinite(flat_g))
+    for s in scalars:
+        ok = ok & jnp.isfinite(jnp.asarray(s, jnp.float32))
+    return ok
+
+
+def guarded_optimizer_step(tx, params, grads, opt_state, lr, loss):
+    """optimizer_step that SKIPS the update when the loss or any gradient is
+    non-finite (params and optimizer state stay bitwise unchanged), returning
+    (params, opt_state, ok). Failure detection the reference lacks
+    (SURVEY.md §5): one poisoned batch cannot destroy a long run, and the
+    guard is a scalar select — no host sync, no extra dispatch."""
+    ok = grads_finite(grads, loss)
+    if hasattr(tx, "fused_apply"):
+        params, opt_state = tx.fused_apply(params, grads, opt_state, lr, ok=ok)
+        return params, opt_state, ok
+    new_p, new_s = optimizer_step(tx, params, grads, opt_state, lr)
+    sel = lambda n, o: jnp.where(ok, n, o)  # noqa: E731
+    return (
+        jax.tree.map(sel, new_p, params),
+        jax.tree.map(sel, new_s, opt_state),
+        ok,
+    )

@@ -106,6 +106,71 @@ def test_small_model_overfits_bf16():
     assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
 
 
+def test_nan_guard_skips_nonfinite_step():
+    """guarded_optimizer_step must leave params AND optimizer moments bitwise
+    unchanged when any gradient (or the loss) is non-finite, and must match
+    optimizer_step exactly on finite steps — for both the fused-Adam path and
+    the generic optax path."""
+    from lanegcn_tpu.config import TrainConfig
+    from lanegcn_tpu.train.optimizer import (
+        guarded_optimizer_step,
+        make_optimizer,
+        optimizer_step,
+    )
+
+    params = {"a": jnp.ones((4, 3)), "b": jnp.linspace(-1.0, 1.0, 8)}
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.25), params)
+    bad_grads = {"a": grads["a"].at[0, 0].set(jnp.nan), "b": grads["b"]}
+    loss = jnp.float32(1.5)
+
+    for opt_name in ("adam", "sgd"):
+        tx, _ = make_optimizer(TrainConfig(opt=opt_name))
+        state = tx.init(params)
+
+        # Finite step: identical to the unguarded step, ok=True.
+        p_ref, s_ref = optimizer_step(tx, params, grads, state, 1e-3)
+        p_g, s_g, ok = guarded_optimizer_step(tx, params, grads, state, 1e-3, loss)
+        assert bool(ok)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_g)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # NaN grad: everything bitwise unchanged, ok=False.
+        p_g, s_g, ok = guarded_optimizer_step(tx, params, bad_grads, state, 1e-3, loss)
+        assert not bool(ok)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p_g)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(s_g)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # Non-finite loss alone also trips the guard.
+        _, _, ok = guarded_optimizer_step(
+            tx, params, grads, state, 1e-3, jnp.float32(jnp.inf)
+        )
+        assert not bool(ok)
+
+
+def test_nan_guard_in_train_step():
+    """End-to-end: a poisoned batch inside jitted train_step reports
+    skipped=1 and leaves params unchanged; training then continues."""
+    cfg = Config(model=SMALL_MODEL, pack=SMALL_PACK)
+    batches = _batches(cfg, n_packs=1)
+    net, state, tx, lr_fn = init_state(cfg, jax.random.PRNGKey(2), batches[0])
+    step = make_train_step(cfg, net, tx, lr_fn)
+
+    b0 = batches[0]
+    poisoned = b0.replace(
+        actors=b0.actors.replace(feats=b0.actors.feats.at[0, 0, 0].set(jnp.nan))
+    )
+    params, opt, m = step(state.params, state.opt_state, poisoned, 0.0)
+    assert float(m["skipped"]) == 1.0
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    params, opt, m = step(params, opt, batches[0], 0.0)
+    assert float(m["skipped"]) == 0.0
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_per_group_lr_coef():
     """TrainConfig.lr_coef scales each matching param's update by coef,
     exactly like the reference's per-group lr = lr_func(epoch)*coef[i]
