@@ -7,6 +7,13 @@ Baseline: the reference trains 205,942 scenarios/epoch in ~870 s on 4× RTX
 scenarios/s through the full jitted train step (fwd+bwd+Adam) on one chip;
 vs_baseline = value / 58.8.
 
+Measurement protocol: the axon relay executes asynchronously and
+`jax.block_until_ready` can return before the device has actually executed
+the queued programs (measured: a fresh process "ran" 100 steps in 0.2 s —
+a 3.7 PFLOP/s dispatch rate, 19× the chip's peak). Every timed window here
+therefore ends with a VALUE fetch (`float(metrics["loss"])`) of a scalar
+that data-depends on every timed step, which forces a full pipeline drain.
+
 Run alone — the axon TPU tunnel admits one process at a time.
 """
 
@@ -37,27 +44,26 @@ from lanegcn_tpu.train.optimizer import make_optimizer
 BASELINE_SCEN_PER_S_PER_CHIP = 235.0 / 4.0  # reference: 4× RTX 5000 aggregate
 
 
-def bench_pack_config() -> PackConfig:
-    # 1024 scenarios/pack at realistic sizes (~310 lane nodes, ~12 actors per
-    # scenario). Packs this large amortize the program's fixed per-op cost to
-    # nothing and put the step at the HBM roofline (measured 2.2 ms/step;
-    # 128-pack = 1.75 ms — throughput scales ~6.3x for 8x the scenarios).
-    # With band splitting (data/packing.py), every intra-lane pre/suc edge
-    # lives in the [N] band masks, so the pre/suc edge lists hold only the
-    # cross-lane residue (zero on these synthetic corridors — capacity kept
-    # small but nonzero so the residual code path stays in the measured
-    # program). Capacities sized so nothing drops (~320k nodes, ~164k
-    # left/right, ≤101k fusion edges measured).
+def bench_pack_config(num_scen: int | None = None) -> PackConfig:
+    # Packs of BENCH_SCEN scenarios at realistic sizes (~310 lane nodes, ~12
+    # actors per scenario; capacities scale per-scenario). With band
+    # splitting every intra-lane pre/suc edge lives in the [N] band masks,
+    # and with table splitting every left/right edge (and the first
+    # cross-lane pre/suc edge per destination) lives in the [N] neighbor
+    # tables — the edge lists hold only duplicate-destination overflow (zero
+    # on these synthetic corridors; capacity kept nonzero so the residual
+    # scatter path stays in the measured program).
+    s = num_scen or int(os.environ.get("BENCH_SCEN", "256"))
     return PackConfig(
-        max_scenarios=1024,
-        max_actors=16384,
-        max_nodes=393216,
-        max_edges_scale0=32768,
-        max_edges_dilated=32768,
-        max_edges_lr=196608,
-        max_a2m_edges=131072,
-        max_m2a_edges=131072,
-        max_a2a_edges=131072,
+        max_scenarios=s,
+        max_actors=16 * s,
+        max_nodes=320 * s,
+        max_edges_scale0=max(4 * s, 512),
+        max_edges_dilated=max(4 * s, 512),
+        max_edges_lr=max(4 * s, 512),
+        max_a2m_edges=128 * s,
+        max_m2a_edges=128 * s,
+        max_a2a_edges=128 * s,
     )
 
 
@@ -122,18 +128,24 @@ def main():
 
     t0 = time.time()
     params, opt_state, m = train_step(params, opt_state, batches[0], 0.0)
-    jax.block_until_ready(m["loss"])
+    first_loss = float(m["loss"])  # value fetch: drains compile + execution
     print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    iters = 100
+    # One drained step to estimate the real step time, then size the
+    # measured window to ~20 s.
+    t0 = time.time()
+    params, opt_state, m = train_step(params, opt_state, batches[1 % num_batches], 0.0)
+    est = max(time.time() - t0, 1e-4)
+    iters = int(min(100, max(10, 20.0 / est)))
+
     t0 = time.time()
     for i in range(iters):
         params, opt_state, m = train_step(
             params, opt_state, batches[i % num_batches], 0.0
         )
-    jax.block_until_ready(m["loss"])
+    final_loss = float(m["loss"])  # inside the window: forces full drain
     dt = time.time() - t0
-    assert np.isfinite(float(m["loss"])), f"non-finite loss {m['loss']}"
+    assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
 
     scen_per_s = scen_per_batch * iters / dt
     edges = count_edges(batches[0])
@@ -152,11 +164,11 @@ def main():
 
         eval_step = make_eval_step(config, net)
         out, m = eval_step(params, batches[0])
-        jax.block_until_ready(m["loss"])
+        _ = float(m["loss"])
         t0 = time.time()
         for i in range(iters):
             out, m = eval_step(params, batches[i % num_batches])
-        jax.block_until_ready(m["loss"])
+        _ = float(m["loss"])  # drain
         infer_per_s = scen_per_batch * iters / (time.time() - t0)
         print(f"# inference: {infer_per_s:.0f} scen/s (bf16 fwd+loss+metrics)", file=sys.stderr)
 
@@ -205,7 +217,7 @@ def main():
                 b = jax.tree.map(jnp.asarray, b)
                 params, opt_state, m = train_step(params, opt_state, b, 0.0)
                 n += scen_per_batch
-            jax.block_until_ready(m["loss"])
+            _ = float(m["loss"])  # drain
             dt = time.time() - t0
             print(
                 f"# e2e epoch {ep}: {n} scen in {dt:.2f}s → {n/dt:.0f} scen/s "

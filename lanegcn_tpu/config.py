@@ -65,6 +65,16 @@ class PackConfig:
     max_a2m_edges: int = 16384
     max_m2a_edges: int = 16384
     max_a2a_edges: int = 8192
+    # Capacity of the combined inverse edge list backing the neighbor-table
+    # backward (ops.table_gather). 0 ⇒ auto (3 × max_nodes: left + right +
+    # ~one cross-lane pre/suc first-edge per node). On overflow the packer
+    # demotes table entries to the regular edge lists, so gradients stay
+    # exact either way.
+    max_table_edges: int = 0
+
+    @property
+    def table_edge_capacity(self) -> int:
+        return self.max_table_edges or 3 * self.max_nodes
 
     def edge_capacity(self, relation: str) -> int:
         if relation in ("left", "right"):

@@ -74,7 +74,7 @@ def precompute_fusion(scen: Dict, model_cfg: ModelConfig) -> Dict:
     return cache
 
 
-PACK_CACHE_VERSION = 2
+PACK_CACHE_VERSION = 3
 
 
 def precompute_pack_cache(scen: Dict, model_cfg: ModelConfig) -> Dict:
@@ -91,8 +91,13 @@ def precompute_pack_cache(scen: Dict, model_cfg: ModelConfig) -> Dict:
       band_blob  [nn, 2*num_scales] bool — intra-lane band membership per
                  pre/suc relation (v = u + band_shift; offset-invariant,
                  so computed once here, not per pack)
-      edge_u/edge_v int32 — cross-lane residue of pre/suc + full left/right,
-                 flat in relation_names order; edge_counts [R] int64
+      table_blob [nn, R] int32 — per-relation neighbor table: local source v
+                 of the first non-banded edge per destination u, -1 when
+                 none (left/right are functional by construction; pre/suc
+                 residues have duplicates only at lane merges)
+      edge_u/edge_v int32 — duplicate-destination overflow (edges whose u
+                 already has a band/table entry for that relation), flat in
+                 relation_names order; edge_counts [R] int64
       fus_u/fus_v int32 + fus_counts [3] (a2m, m2a, a2a)
       meta [6] f32 — rot.ravel()‖orig
     """
@@ -130,10 +135,12 @@ def precompute_pack_cache(scen: Dict, model_cfg: ModelConfig) -> Dict:
         ],
         axis=1,
     )
+    rel_names = relation_names(model_cfg.num_scales)
     us, vs, counts = [], [], []
     band_blob = np.zeros((nn, 2 * model_cfg.num_scales), bool)
+    table_blob = np.full((nn, len(rel_names)), -1, np.int32)
     j = 0
-    for nm in relation_names(model_cfg.num_scales):
+    for r_idx, nm in enumerate(rel_names):
         if nm in ("left", "right"):
             e = g[nm]
         else:
@@ -148,6 +155,14 @@ def precompute_pack_cache(scen: Dict, model_cfg: ModelConfig) -> Dict:
             band_blob[u[banded], j] = True
             j += 1
             u, v = u[~banded], v[~banded]
+        if len(u):
+            # Neighbor table: first remaining edge per destination; only
+            # duplicate-destination edges (merges) stay in the flat list.
+            _, first_idx = np.unique(u, return_index=True)
+            first = np.zeros(len(u), bool)
+            first[first_idx] = True
+            table_blob[u[first], r_idx] = v[first]
+            u, v = u[~first], v[~first]
         us.append(u)
         vs.append(v)
         counts.append(len(u))
@@ -159,6 +174,7 @@ def precompute_pack_cache(scen: Dict, model_cfg: ModelConfig) -> Dict:
         "actor_blob": actor_blob,
         "node_blob": node_blob,
         "band_blob": band_blob,
+        "table_blob": table_blob,
         "edge_u": np.concatenate(us) if us else np.zeros(0, np.int32),
         "edge_v": np.concatenate(vs) if vs else np.zeros(0, np.int32),
         "edge_counts": np.asarray(counts, np.int64),
@@ -208,6 +224,7 @@ def pack_batch(
     pack_cfg: PackConfig,
     model_cfg: ModelConfig,
     split_bands: bool = True,
+    split_tables: bool = True,
 ) -> Tuple[PackedBatch, Dict[str, int]]:
     """Pack up to pack_cfg.max_scenarios scenarios; returns (batch, stats).
 
@@ -220,6 +237,14 @@ def pack_batch(
     preserved by packing) into a per-node [N] bool band mask instead of the
     edge list. The model applies bands as a masked roll — no gather/scatter —
     and the edge lists keep only the irregular (cross-lane) remainder.
+
+    split_tables: route the first non-banded edge per (destination, relation)
+    into a per-node [N] int32 neighbor table (value = pack-global source row,
+    or max_nodes ⇒ none). left/right are functional (nearest-node matching,
+    reference preprocess_data.py:332-334), so tables absorb them entirely;
+    pre/suc cross-lane residues overflow only at lane merges. The model
+    applies tables as a dense row-aligned gather — the scatter-add shrinks to
+    the (near-empty) duplicate-destination overflow lists.
 
     The hot path is fully vectorized: per-scenario work is limited to
     acceptance checks and list collection; all index arithmetic happens on
@@ -324,6 +349,8 @@ def pack_batch(
             np.concatenate([c["edge_v"] for c in accepted]), e_counts, n_add
         )
         band_cat = np.concatenate([c["band_blob"] for c in accepted])  # [N, 2S]
+        table_cat = np.concatenate([c["table_blob"] for c in accepted])  # [N, R]
+        node_add = np.repeat(n_offs, nn_arr)  # [N] pack-global offset per row
         # Fusion edges: u/v offset bases differ per relation (a2m, m2a, a2a).
         f_counts = np.stack([c["fus_counts"] for c in accepted])  # [S, 3]
         fu_add = np.stack([n_offs, a_offs, a_offs], axis=1)
@@ -339,9 +366,12 @@ def pack_batch(
         per_rel = np.zeros(num_rel, np.int64)
         per_fus = np.zeros(3, np.int64)
         band_cat = np.zeros((0, 2 * model_cfg.num_scales), bool)
+        table_cat = np.zeros((0, num_rel), np.int32)
+        node_add = np.zeros(0, np.int64)
 
-    edges = {}
     bands = {} if split_bands else None
+    tables = {} if split_tables else None
+    pend: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
     off = 0
     j = 0
     for r, nm in enumerate(names):
@@ -363,6 +393,58 @@ def pack_batch(
                 bu = np.nonzero(col)[0]
                 u = np.concatenate([u, bu])
                 v = np.concatenate([v, bu + shift])
+        tcol = table_cat[:, r]
+        tvalid = tcol >= 0
+        if split_tables:
+            tbl = np.full(n_cap, n_cap, np.int32)
+            tbl[: len(tcol)][tvalid] = tcol[tvalid] + node_add[tvalid]
+            tables[nm] = tbl
+            stats[f"tabled_{nm}"] = int(tvalid.sum())
+        else:
+            # Reconstruct table edges into the flat list (u = row index).
+            tu = np.nonzero(tvalid)[0]
+            u = np.concatenate([u, tu])
+            v = np.concatenate([v, tcol[tvalid] + node_add[tvalid]])
+        pend[nm] = (u, v)
+
+    table_inv = None
+    if split_tables:
+        # Combined inverse of the tables (for the table-gather backward):
+        # (flat cotangent row r*N + u) → tabled source v, sorted by v. If it
+        # overflows capacity, demote the tail's table entries back to the
+        # regular edge lists so (tables, inverse) stay exactly consistent.
+        srcs, dsts = [], []
+        for r, nm in enumerate(names):
+            tbl = tables[nm]
+            uu = np.nonzero(tbl < n_cap)[0]
+            srcs.append(r * n_cap + uu.astype(np.int64))
+            dsts.append(tbl[uu].astype(np.int64))
+        src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        cap = pack_cfg.table_edge_capacity
+        if len(src) > cap:
+            stats["demoted_table_edges"] = int(len(src) - cap)
+            for flat, vv in zip(src[cap:], dst[cap:]):
+                r, uu = int(flat) // n_cap, int(flat) % n_cap
+                nm = names[r]
+                tables[nm][uu] = n_cap
+                stats[f"tabled_{nm}"] -= 1
+                pu, pv = pend[nm]
+                pend[nm] = (np.append(pu, uu), np.append(pv, vv))
+            src, dst = src[:cap], dst[:cap]
+        iu = np.full(cap, len(names) * n_cap, np.int32)
+        iv = np.full(cap, n_cap, np.int32)
+        im = np.zeros(cap, bool)
+        iu[: len(src)] = src
+        iv[: len(dst)] = dst
+        im[: len(src)] = True
+        table_inv = EdgeSet(u=iu, v=iv, mask=im)
+
+    edges = {}
+    for nm in names:
+        u, v = pend[nm]
         edges[nm], dropped = _pad_edges(u, v, pack_cfg.edge_capacity(nm))
         stats[f"dropped_{nm}"] = dropped
 
@@ -397,6 +479,8 @@ def pack_batch(
             node_scen=node_scen,
             edges=edges,
             bands=bands,
+            tables=tables,
+            table_inv=table_inv,
         ),
         fusion=fusion,
         gt_preds=gt_preds,

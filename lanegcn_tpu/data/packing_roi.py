@@ -188,13 +188,17 @@ def pack_roi_batch(
     model_cfg: ModelConfig,
     pooling_dist: float = 6.0,
     split_bands: bool = True,
+    split_tables: bool = True,
 ) -> Tuple[RoiPackedBatch, Dict[str, int]]:
     """Scenarios must carry "subgraphs"/"valid_agent_ids" (lane_roi.py) in
     addition to the base featurization + graph.
 
     split_bands: as in pack_batch — RoI subgraph nodes are lane-contiguous
     runs too, so intra-lane pre/suc edges (v = u + band_shift) become [M]
-    band masks and the edge lists keep only the cross-lane residue."""
+    band masks and the edge lists keep only the cross-lane residue.
+
+    split_tables: applies to the shared GLOBAL lane graph only (pack_batch
+    semantics); RoI subgraph edges always stay in band masks + edge lists."""
     names = relation_names(model_cfg.num_scales)
     b_cap, r_cap = roi_cfg.max_scenarios, roi_cfg.max_rois
     m_cap, mi_cap = roi_cfg.max_roi_nodes, roi_cfg.max_interest_nodes
@@ -342,7 +346,9 @@ def pack_roi_batch(
         band_cat = np.zeros((0, 2 * model_cfg.num_scales), bool)
         a2m_u = a2m_v = pool_ru = pool_gv = a2r_u = a2r_v = np.zeros(0, np.int64)
 
-    graph_batch, gstats = pack_batch(used, gcfg, model_cfg, split_bands=split_bands)
+    graph_batch, gstats = pack_batch(
+        used, gcfg, model_cfg, split_bands=split_bands, split_tables=split_tables
+    )
     assert gstats["packed_scenarios"] == si, (gstats, si)
     for k, v in gstats.items():
         # Fusion edges of the global-graph packer are unused by LaneRCNN

@@ -74,6 +74,23 @@ class LaneGraphBatch:
     # Consumed as a masked jnp.roll instead of gather/scatter-add; None when
     # the pack was built without band splitting.
     bands: Dict[str, jax.Array] | None = None
+    # Per-relation neighbor tables, split out of `edges` by the packer:
+    # tables[nm][u] = source row v of the FIRST edge (u, v) of that relation,
+    # or the node capacity N (out of range ⇒ masked) when u has none. Most
+    # relations are (nearly) functional — left/right are nearest-neighbor
+    # matches with exactly one source per destination (reference
+    # preprocess_data.py:332-334 argmin), lane merges give pre/suc residues
+    # degree ≤ 2 — so the table absorbs almost every irregular edge and the
+    # aggregation becomes a dense row-aligned gather (no scatter); only
+    # duplicate-destination overflow stays in `edges`. None when the pack was
+    # built without table splitting.
+    tables: Dict[str, jax.Array] | None = None
+    # Inverse of `tables` for the backward pass (ops.table_gather): one
+    # combined edge list over all relations, u = flat cotangent row
+    # (relation_index * N + destination), v = the tabled source row, sorted
+    # by v so the transpose scatter-add runs with indices_are_sorted. Built
+    # by the packer together with `tables`; padding rows carry v = N (drop).
+    table_inv: EdgeSet | None = None
 
     @property
     def capacity(self) -> int:

@@ -118,7 +118,7 @@ class M2M(nn.Module):
     def __call__(self, nodes: jax.Array, graph: LaneGraphBatch) -> jax.Array:
         return LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="fuse"
-        )(nodes, graph.edges, graph.bands)
+        )(nodes, graph.edges, graph.bands, graph.tables, graph.table_inv)
 
 
 class M2A(nn.Module):

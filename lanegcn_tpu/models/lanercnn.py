@@ -130,7 +130,7 @@ class Interactor(nn.Module):
         )
         graph_feat = LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="global_graph"
-        )(graph_feat, g.edges, g.bands)
+        )(graph_feat, g.edges, g.bands, g.tables, g.table_inv)
         roi_feat = Pool(n_map, dtype=self.dtype, name="graph2roi")(
             graph_feat, graph_pose, roi_feat, roi_pose, batch.g2r
         )

@@ -7,9 +7,13 @@ The LaneConv residual block computes, per node u:
     x' = ReLU(GN(temp));  x'' = ReLU(Linear(x') + res)
 
 The reference runs one `index_add_` CUDA scatter per relation per layer
-(lanegcn.py:329-362). TPU-first formulation: all 14 relation transforms are a
-single stacked [R, C, C] einsum (one big MXU matmul), then per-relation masked
-gather + deterministic scatter-add over static-capacity edge lists.
+(lanegcn.py:329-362). TPU-first formulation: the regular majority of each
+relation (intra-lane bands: v = u + 2^s in pack order; neighbor tables: the
+first edge per destination — ALL of left/right, which are functional nearest
+matches) is carried in node-aligned [N] structures and aggregated by one
+relation-and-channel-contracting einsum (one big MXU matmul); only the
+duplicate-destination overflow goes through masked gather + ONE combined
+deterministic scatter-add over static-capacity edge lists.
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ from lanegcn_tpu.config import ModelConfig, band_shift, relation_names
 from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch
 from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear, torch_uniform_init
 from lanegcn_tpu.ops import masked_gather, scatter_add
+from lanegcn_tpu.ops.table_gather import stacked_table_gather
 
 
 class LaneConvStack(nn.Module):
@@ -40,11 +45,21 @@ class LaneConvStack(nn.Module):
         feat: jax.Array,
         edges: Dict[str, EdgeSet],
         bands: Dict[str, jax.Array] | None = None,
+        tables: Dict[str, jax.Array] | None = None,
+        table_inv: EdgeSet | None = None,
     ) -> jax.Array:
         """bands: optional per-relation [N] bool masks of intra-lane edges
         (v = u + band_shift(nm)); applied as a masked roll — one vector op
         replacing the gather + scatter-add for the regular majority of
-        pre/suc edges (see data/packing.py split_bands)."""
+        pre/suc edges (see data/packing.py split_bands).
+
+        tables: optional per-relation [N] int32 neighbor tables (value =
+        source row, or ≥ N ⇒ none); applied as one stacked dense row gather —
+        the first edge per destination (ALL of left/right, which are
+        functional by construction) costs no scatter (split_tables).
+        table_inv: the packer's combined inverse edge list; required with
+        tables — it makes the gather's backward one sorted scatter instead
+        of one scatter per relation (ops.table_gather)."""
         n_map = self.cfg.n_map
         names = relation_names(self.cfg.num_scales)
         num_nodes = feat.shape[0]
@@ -58,11 +73,40 @@ class LaneConvStack(nn.Module):
                 torch_uniform_init(n_map),
                 (len(names), n_map, n_map),
             )
-            # Banded intra-lane pre/suc edges (v = u + 2^s in pack order):
-            # one einsum contracting relation and channel over rolled, masked
-            # copies of feat — temp[u] += Σ_r band_r[u]·(feat[u+d_r] @ W_r).
-            # No [R, N, C] per-relation transform is ever materialized.
-            if bands is not None:
+            # Regular relation slices, contracted in ONE einsum over relation
+            # and channel — temp[u] += Σ_r slice_r[u] @ W_r, where slice_r is
+            # the masked roll of the intra-lane band (v = u + 2^s in pack
+            # order) plus the neighbor-table gather. A destination can carry
+            # both a band and a table edge for the same relation (lane
+            # merges), so the rows sum — W_r is linear, (a+b)@W = a@W + b@W.
+            if tables is not None:
+                # All relations at once: one stacked gather whose backward is
+                # one sorted transpose scatter (ops.table_gather), plus the
+                # band rolls added into the matching relation rows.
+                assert table_inv is not None, "tables require table_inv (packer emits both)"
+                tbl_stack = jnp.stack([tables[name] for name in names], 0)
+                xs = stacked_table_gather(
+                    feat, tbl_stack, table_inv.u, table_inv.v
+                ).astype(self.dtype)
+                if bands is not None and bands:
+                    band_rows = [
+                        jnp.where(
+                            bands[name][:, None],
+                            jnp.roll(feat, -band_shift(name), axis=0),
+                            0,
+                        )
+                        if name in bands
+                        else jnp.zeros_like(feat)
+                        for name in names
+                    ]
+                    xs = xs + jnp.stack(band_rows, 0).astype(self.dtype)
+                temp = temp + jnp.einsum(
+                    "rnc,rcd->nd",
+                    xs,
+                    w_rel.astype(self.dtype),
+                    preferred_element_type=self.dtype,
+                )
+            elif bands is not None and bands:
                 band_rel = [
                     (r, name, band_shift(name))
                     for r, name in enumerate(names)
@@ -71,9 +115,7 @@ class LaneConvStack(nn.Module):
                 xs = jnp.stack(
                     [
                         jnp.where(
-                            bands[name][:, None],
-                            jnp.roll(feat, -shift, axis=0),
-                            0,
+                            bands[name][:, None], jnp.roll(feat, -shift, axis=0), 0
                         )
                         for (_, name, shift) in band_rel
                     ],
@@ -86,18 +128,32 @@ class LaneConvStack(nn.Module):
                     wb.astype(self.dtype),
                     preferred_element_type=self.dtype,
                 )
-            # Irregular edges (left/right + cross-lane pre/suc residue):
-            # gather source rows, per-relation matmul, deterministic
-            # scatter-add — cost scales with edge-list capacity, not N.
+            # Irregular overflow edges (duplicate-destination residue; the
+            # whole relation when bands/tables are off): gather source rows,
+            # per-relation matmul on static slices, then ONE deterministic
+            # scatter-add of the concatenated messages — a single
+            # read-modify-write of the [N, C] output instead of one per
+            # relation (measured 2.1x at production sizes).
+            msgs, dsts, msks = [], [], []
             for r, name in enumerate(names):
                 e = edges[name]
                 src = masked_gather(feat, e.v, e.mask)
-                msg = jnp.matmul(
-                    src.astype(self.dtype),
-                    w_rel[r].astype(self.dtype),
-                    preferred_element_type=self.dtype,
+                msgs.append(
+                    jnp.matmul(
+                        src.astype(self.dtype),
+                        w_rel[r].astype(self.dtype),
+                        preferred_element_type=self.dtype,
+                    )
                 )
-                temp = scatter_add(msg, e.u, num_nodes, mask=e.mask, out=temp)
+                dsts.append(e.u)
+                msks.append(e.mask)
+            temp = scatter_add(
+                jnp.concatenate(msgs),
+                jnp.concatenate(dsts),
+                num_nodes,
+                mask=jnp.concatenate(msks),
+                out=temp,
+            )
 
             feat = nn.relu(GroupNorm(name=f"norm_{i}")(temp))
             feat = Linear(n_map, act=False, dtype=self.dtype, name=f"ctr2_{i}")(feat)
@@ -125,4 +181,4 @@ class MapNet(nn.Module):
 
         return LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="fuse"
-        )(feat, graph.edges, graph.bands)
+        )(feat, graph.edges, graph.bands, graph.tables, graph.table_inv)

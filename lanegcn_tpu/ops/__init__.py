@@ -6,5 +6,6 @@ layers.py:40-62) with XLA/Pallas-friendly equivalents.
 """
 
 from lanegcn_tpu.ops.scatter import masked_gather, scatter_add, segment_softmax  # noqa: F401
+from lanegcn_tpu.ops.table_gather import stacked_table_gather  # noqa: F401
 from lanegcn_tpu.ops.norm import group_norm  # noqa: F401
 from lanegcn_tpu.ops.conv import conv1d, interpolate_linear  # noqa: F401

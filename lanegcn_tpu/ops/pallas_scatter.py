@@ -101,8 +101,8 @@ def sorted_segment_sum(
         num_scalar_prefetch=1,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # seg ids (windowed DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # messages (windowed DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # seg ids (windowed DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # messages (windowed DMA)
         ],
         out_specs=pl.BlockSpec(
             (block_rows, c), lambda b, *_: (b, 0), memory_space=pltpu.VMEM

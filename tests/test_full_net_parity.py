@@ -41,7 +41,11 @@ def _packs():
     )
     scens = [make_synthetic_scenario(seed=i, num_corridors=2, num_actors=5) for i in range(3)]
     banded, stats_b = pack_batch(scens, pc, mcfg, split_bands=True)
-    flat, stats_f = pack_batch(scens, pc, mcfg, split_bands=False)
+    # Fully-flat pack: the torch reference emulation consumes edge lists, so
+    # neighbor tables must stay merged into the lists here.
+    flat, stats_f = pack_batch(
+        scens, pc, mcfg, split_bands=False, split_tables=False
+    )
     assert stats_b["packed_scenarios"] == 3 and stats_f["packed_scenarios"] == 3
     assert not any(v for k, v in stats_f.items() if k.startswith("dropped")), stats_f
     return mcfg, banded, flat

@@ -26,7 +26,9 @@ PACK = PackConfig(
 def test_sharded_lane_conv_matches_unsharded(num_shards):
     cfg = Config(pack=PACK)
     scens = [make_synthetic_scenario(seed=60 + i, num_corridors=1, num_actors=4) for i in range(2)]
-    batch, _ = pack_batch(scens, cfg.pack, cfg.model)
+    # The explicit edge-partition path consumes edge lists; keep every edge
+    # in the lists (no neighbor-table splitting) for this comparison.
+    batch, _ = pack_batch(scens, cfg.pack, cfg.model, split_tables=False)
     batch = jax.tree.map(jnp.asarray, batch)
 
     rng = np.random.default_rng(0)
@@ -52,7 +54,7 @@ def test_sharded_lane_conv_matches_unsharded(num_shards):
 def test_partition_edges_by_source_covers_all_edges():
     cfg = Config(pack=PACK)
     scens = [make_synthetic_scenario(seed=70, num_corridors=1, num_actors=4)]
-    batch, _ = pack_batch(scens, cfg.pack, cfg.model)
+    batch, _ = pack_batch(scens, cfg.pack, cfg.model, split_tables=False)
     sharded = partition_edges_by_source(batch.graph.edges, cfg.pack.max_nodes, 4)
     rows = cfg.pack.max_nodes // 4
     for nm, e in batch.graph.edges.items():

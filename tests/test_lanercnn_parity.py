@@ -53,7 +53,9 @@ def packs():
         scens.append(generate_lane_rois(s))
     cfg = Config(roi_pack=TINY_ROI)
     banded, stats_b = pack_roi_batch(scens, cfg.roi_pack, cfg.model, split_bands=True)
-    flat, stats_f = pack_roi_batch(scens, cfg.roi_pack, cfg.model, split_bands=False)
+    flat, stats_f = pack_roi_batch(
+        scens, cfg.roi_pack, cfg.model, split_bands=False, split_tables=False
+    )
     assert stats_b["packed_scenarios"] == 2 and stats_f["packed_scenarios"] == 2
     return cfg.model, jax.tree.map(jnp.asarray, banded), jax.tree.map(jnp.asarray, flat)
 

@@ -150,3 +150,77 @@ def test_band_split_equivalence(cfg, params_and_out):
     np.testing.assert_allclose(
         np.asarray(out_band["cls"]), np.asarray(out_list["cls"]), rtol=2e-4, atol=2e-4
     )
+
+
+def test_table_split_equivalence(cfg, params_and_out):
+    """split_tables=True (neighbor-table gather path) must equal
+    split_tables=False (pure edge-list path), absorb ALL left/right edges
+    (functional nearest-neighbor matching ⇒ one source per destination), and
+    table ∪ residual list must reconstruct the unsplit edge set."""
+    net, params, _ = params_and_out
+    scens = [make_synthetic_scenario(seed=40 + i, num_corridors=2, num_actors=8) for i in range(2)]
+    b_tbl, s_tbl = pack_batch(scens, cfg.pack, cfg.model, split_tables=True)
+    b_list, s_list = pack_batch(scens, cfg.pack, cfg.model, split_tables=False)
+    assert b_tbl.graph.tables is not None and b_list.graph.tables is None
+
+    n_cap = cfg.pack.max_nodes
+    for nm in ("left", "right"):
+        # left/right must live entirely in the table.
+        assert int(np.asarray(b_tbl.graph.edges[nm].mask).sum()) == 0, nm
+        tabled = s_tbl[f"tabled_{nm}"]
+        e_full = b_list.graph.edges[nm]
+        assert tabled == int(np.asarray(e_full.mask).sum()) > 0, nm
+
+    from lanegcn_tpu.config import relation_names
+
+    for nm in relation_names(cfg.model.num_scales):
+        e_full = b_list.graph.edges[nm]
+        m = np.asarray(e_full.mask)
+        full = set(zip(np.asarray(e_full.u)[m].tolist(), np.asarray(e_full.v)[m].tolist()))
+        e_res = b_tbl.graph.edges[nm]
+        m = np.asarray(e_res.mask)
+        got = set(zip(np.asarray(e_res.u)[m].tolist(), np.asarray(e_res.v)[m].tolist()))
+        tbl = np.asarray(b_tbl.graph.tables[nm])
+        for u in np.nonzero(tbl < n_cap)[0].tolist():
+            got.add((u, int(tbl[u])))
+        assert got == full, nm
+
+    b_tbl = jax.tree.map(jnp.asarray, b_tbl)
+    b_list = jax.tree.map(jnp.asarray, b_list)
+    out_tbl = net.apply({"params": params}, b_tbl)
+    out_list = net.apply({"params": params}, b_list)
+    np.testing.assert_allclose(
+        np.asarray(out_tbl["reg"]), np.asarray(out_list["reg"]), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_tbl["cls"]), np.asarray(out_list["cls"]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_table_gather_grad_parity(cfg, params_and_out):
+    """The neighbor-table path uses a hand-written VJP (ops.table_gather:
+    inverse-edge-list transpose). Its end-to-end gradients must match the
+    pure edge-list path's autodiff gradients."""
+    net, params, _ = params_and_out
+    scens = [make_synthetic_scenario(seed=50 + i, num_corridors=2, num_actors=8) for i in range(2)]
+    b_tbl, _ = pack_batch(scens, cfg.pack, cfg.model, split_tables=True)
+    b_list, _ = pack_batch(
+        scens, cfg.pack, cfg.model, split_bands=False, split_tables=False
+    )
+    b_tbl = jax.tree.map(jnp.asarray, b_tbl)
+    b_list = jax.tree.map(jnp.asarray, b_list)
+
+    def loss(p, b):
+        out = net.apply({"params": p}, b)
+        return jnp.sum(out["reg"] ** 2) / 1e3 + jnp.sum(out["cls"] ** 2)
+
+    from jax.flatten_util import ravel_pytree
+
+    g_tbl = jax.grad(loss)(params, b_tbl)
+    g_list = jax.grad(loss)(params, b_list)
+    flat_t, _ = ravel_pytree(g_tbl)
+    flat_l, _ = ravel_pytree(g_list)
+    scale = float(jnp.max(jnp.abs(flat_l))) or 1.0
+    np.testing.assert_allclose(
+        np.asarray(flat_t) / scale, np.asarray(flat_l) / scale, rtol=1e-4, atol=1e-4
+    )
