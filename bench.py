@@ -64,6 +64,10 @@ def bench_pack_config(num_scen: int | None = None) -> PackConfig:
         max_a2m_edges=128 * s,
         max_m2a_edges=128 * s,
         max_a2a_edges=128 * s,
+        # ~305 tabled left/right edges per scenario measured; 384/s leaves
+        # 25% headroom (the backward's sorted transpose scatter processes
+        # capacity, not valid count — the 2×max_nodes auto default wastes 2x)
+        max_table_edges=384 * s,
     )
 
 
@@ -85,13 +89,18 @@ def make_batches(config: Config, num_batches: int, scen_per_batch: int):
 
 def count_edges(batch) -> int:
     """Total valid message-passing edges per step (LaneConv + fusion),
-    including banded intra-lane edges carried by the band masks."""
+    including banded intra-lane edges carried by the band masks and
+    left/right edges carried by the neighbor tables."""
     n = 0
+    n_cap = batch.graph.ctrs.shape[0]
     for e in batch.graph.edges.values():
         n += int(jnp.sum(e.mask))
     if batch.graph.bands is not None:
         for m in batch.graph.bands.values():
             n += int(jnp.sum(m))
+    if batch.graph.tables is not None:
+        for t in batch.graph.tables.values():
+            n += int(jnp.sum(t < n_cap))
     for e in (batch.fusion.a2m, batch.fusion.m2a, batch.fusion.a2a):
         n += int(jnp.sum(e.mask))
     return n

@@ -28,6 +28,12 @@ class ModelConfig:
     num_fuse_layers: int = 4   # residual LaneConv blocks in MapNet / M2M
     num_att_layers: int = 2    # Att repetitions per fusion stage
     pred_range: Tuple[float, float, float, float] = (-100.0, 100.0, -100.0, 100.0)
+    # Banded LaneConv aggregation backend (ops/pallas_band_conv.py):
+    # "auto" = fused Pallas kernel on TPU, XLA einsum elsewhere;
+    # "on"/"off" force it; "interpret" runs the kernel in interpret mode
+    # (CPU-testable end-to-end). The kernel is single-device — keep "off"
+    # under explicit graph-axis sharding (GSPMD cannot partition it).
+    pallas_bands: str = "auto"
 
     @property
     def num_relations(self) -> int:
@@ -66,15 +72,15 @@ class PackConfig:
     max_m2a_edges: int = 16384
     max_a2a_edges: int = 8192
     # Capacity of the combined inverse edge list backing the neighbor-table
-    # backward (ops.table_gather). 0 ⇒ auto (3 × max_nodes: left + right +
-    # ~one cross-lane pre/suc first-edge per node). On overflow the packer
-    # demotes table entries to the regular edge lists, so gradients stay
-    # exact either way.
+    # backward (ops.table_gather). 0 ⇒ auto (2 × max_nodes — exact upper
+    # bound for the default left/right tabling: each node has at most one
+    # left and one right neighbor). On overflow the packer demotes table
+    # entries to the regular edge lists, so gradients stay exact either way.
     max_table_edges: int = 0
 
     @property
     def table_edge_capacity(self) -> int:
-        return self.max_table_edges or 3 * self.max_nodes
+        return self.max_table_edges or 2 * self.max_nodes
 
     def edge_capacity(self, relation: str) -> int:
         if relation in ("left", "right"):

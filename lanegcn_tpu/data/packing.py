@@ -225,6 +225,7 @@ def pack_batch(
     model_cfg: ModelConfig,
     split_bands: bool = True,
     split_tables: bool = True,
+    table_relations: Tuple[str, ...] = ("left", "right"),
 ) -> Tuple[PackedBatch, Dict[str, int]]:
     """Pack up to pack_cfg.max_scenarios scenarios; returns (batch, stats).
 
@@ -238,13 +239,17 @@ def pack_batch(
     edge list. The model applies bands as a masked roll — no gather/scatter —
     and the edge lists keep only the irregular (cross-lane) remainder.
 
-    split_tables: route the first non-banded edge per (destination, relation)
-    into a per-node [N] int32 neighbor table (value = pack-global source row,
-    or max_nodes ⇒ none). left/right are functional (nearest-node matching,
-    reference preprocess_data.py:332-334), so tables absorb them entirely;
-    pre/suc cross-lane residues overflow only at lane merges. The model
-    applies tables as a dense row-aligned gather — the scatter-add shrinks to
-    the (near-empty) duplicate-destination overflow lists.
+    split_tables: route the first edge per (destination, relation) of each
+    relation in `table_relations` into a per-node [N] int32 neighbor table
+    (value = pack-global source row, or max_nodes ⇒ none). left/right are
+    functional (nearest-node matching, reference preprocess_data.py:332-334),
+    so tables absorb them entirely and the scatter-add shrinks to the
+    (near-empty) duplicate-destination overflow lists. Tabling is restricted
+    to left/right by default: XLA row-gathers run ~100 GB/s on this chip, so
+    gathering mostly-invalid table rows for the 12 banded pre/suc relations
+    costs more than scattering their small cross-lane residue lists
+    (measured: the [14, N] stacked gather was 3.96 ms/layer forward vs
+    0.6 ms for [2, N]).
 
     The hot path is fully vectorized: per-scenario work is limited to
     acceptance checks and list collection; all index arithmetic happens on
@@ -395,7 +400,7 @@ def pack_batch(
                 v = np.concatenate([v, bu + shift])
         tcol = table_cat[:, r]
         tvalid = tcol >= 0
-        if split_tables:
+        if split_tables and nm in table_relations:
             tbl = np.full(n_cap, n_cap, np.int32)
             tbl[: len(tcol)][tvalid] = tcol[tvalid] + node_add[tvalid]
             tables[nm] = tbl
@@ -410,11 +415,14 @@ def pack_batch(
     table_inv = None
     if split_tables:
         # Combined inverse of the tables (for the table-gather backward):
-        # (flat cotangent row r*N + u) → tabled source v, sorted by v. If it
-        # overflows capacity, demote the tail's table entries back to the
-        # regular edge lists so (tables, inverse) stay exactly consistent.
+        # (flat cotangent row stack_row*N + u, stack rows in relation_names
+        # order over the TABLED relations) → tabled source v, sorted by v.
+        # If it overflows capacity, demote the tail's table entries back to
+        # the regular edge lists so (tables, inverse) stay exactly
+        # consistent.
+        tabled_names = [nm for nm in names if nm in tables]
         srcs, dsts = [], []
-        for r, nm in enumerate(names):
+        for r, nm in enumerate(tabled_names):
             tbl = tables[nm]
             uu = np.nonzero(tbl < n_cap)[0]
             srcs.append(r * n_cap + uu.astype(np.int64))
@@ -428,13 +436,13 @@ def pack_batch(
             stats["demoted_table_edges"] = int(len(src) - cap)
             for flat, vv in zip(src[cap:], dst[cap:]):
                 r, uu = int(flat) // n_cap, int(flat) % n_cap
-                nm = names[r]
+                nm = tabled_names[r]
                 tables[nm][uu] = n_cap
                 stats[f"tabled_{nm}"] -= 1
                 pu, pv = pend[nm]
                 pend[nm] = (np.append(pu, uu), np.append(pv, vv))
             src, dst = src[:cap], dst[:cap]
-        iu = np.full(cap, len(names) * n_cap, np.int32)
+        iu = np.full(cap, max(len(tabled_names), 1) * n_cap, np.int32)
         iv = np.full(cap, n_cap, np.int32)
         im = np.zeros(cap, bool)
         iu[: len(src)] = src

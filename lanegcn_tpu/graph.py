@@ -74,16 +74,15 @@ class LaneGraphBatch:
     # Consumed as a masked jnp.roll instead of gather/scatter-add; None when
     # the pack was built without band splitting.
     bands: Dict[str, jax.Array] | None = None
-    # Per-relation neighbor tables, split out of `edges` by the packer:
+    # Per-relation neighbor tables, split out of `edges` by the packer for
+    # the relations in pack_batch's table_relations (default left/right):
     # tables[nm][u] = source row v of the FIRST edge (u, v) of that relation,
-    # or the node capacity N (out of range ⇒ masked) when u has none. Most
-    # relations are (nearly) functional — left/right are nearest-neighbor
-    # matches with exactly one source per destination (reference
-    # preprocess_data.py:332-334 argmin), lane merges give pre/suc residues
-    # degree ≤ 2 — so the table absorbs almost every irregular edge and the
-    # aggregation becomes a dense row-aligned gather (no scatter); only
-    # duplicate-destination overflow stays in `edges`. None when the pack was
-    # built without table splitting.
+    # or the node capacity N (out of range ⇒ masked) when u has none.
+    # left/right are functional — nearest-neighbor matches with exactly one
+    # source per destination (reference preprocess_data.py:332-334 argmin) —
+    # so the table absorbs them entirely and the aggregation becomes a dense
+    # row-aligned gather (no scatter); only duplicate-destination overflow
+    # stays in `edges`. None when the pack was built without table splitting.
     tables: Dict[str, jax.Array] | None = None
     # Inverse of `tables` for the backward pass (ops.table_gather): one
     # combined edge list over all relations, u = flat cotangent row

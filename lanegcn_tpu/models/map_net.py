@@ -28,6 +28,7 @@ from lanegcn_tpu.config import ModelConfig, band_shift, relation_names
 from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch
 from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear, torch_uniform_init
 from lanegcn_tpu.ops import masked_gather, scatter_add
+from lanegcn_tpu.ops.pallas_band_conv import band_conv
 from lanegcn_tpu.ops.table_gather import stacked_table_gather
 
 
@@ -38,6 +39,13 @@ class LaneConvStack(nn.Module):
     cfg: ModelConfig
     num_layers: int = 4
     dtype: Any = jnp.float32
+
+    def _use_pallas_bands(self) -> bool:
+        mode = self.cfg.pallas_bands
+        if mode == "auto":
+            # "axon" is a TPU reached through a relay; same Mosaic target.
+            return jax.default_backend() in ("tpu", "axon")
+        return mode in ("on", "interpret")
 
     @nn.compact
     def __call__(
@@ -76,55 +84,67 @@ class LaneConvStack(nn.Module):
             # Regular relation slices, contracted in ONE einsum over relation
             # and channel — temp[u] += Σ_r slice_r[u] @ W_r, where slice_r is
             # the masked roll of the intra-lane band (v = u + 2^s in pack
-            # order) plus the neighbor-table gather. A destination can carry
-            # both a band and a table edge for the same relation (lane
-            # merges), so the rows sum — W_r is linear, (a+b)@W = a@W + b@W.
-            if tables is not None:
-                # All relations at once: one stacked gather whose backward is
-                # one sorted transpose scatter (ops.table_gather), plus the
-                # band rolls added into the matching relation rows.
-                assert table_inv is not None, "tables require table_inv (packer emits both)"
-                tbl_stack = jnp.stack([tables[name] for name in names], 0)
-                xs = stacked_table_gather(
-                    feat, tbl_stack, table_inv.u, table_inv.v
+            # order) for pre/suc, or the neighbor-table gather for
+            # left/right.
+            band_rel = [
+                (r, name) for r, name in enumerate(names)
+                if bands is not None and name in bands
+            ]
+            tbl_rel = [
+                (r, name) for r, name in enumerate(names)
+                if tables is not None and name in tables
+            ]
+            # Band relations carry their residue in edge lists, not tables
+            # (packing.py table_relations) — the slice stack below relies on
+            # each relation appearing at most once.
+            assert not (
+                {r for r, _ in band_rel} & {r for r, _ in tbl_rel}
+            ), "a relation cannot be both banded and tabled"
+            rows, w_order = [], []
+            if band_rel and self._use_pallas_bands():
+                # Fused kernel: all 12 shifted masked matmuls accumulate in
+                # VMEM; no [J, N, C] stack (ops/pallas_band_conv.py).
+                shifts = tuple(band_shift(name) for _, name in band_rel)
+                band_masks = jnp.stack(
+                    [bands[name] for _, name in band_rel], 0
                 ).astype(self.dtype)
-                if bands is not None and bands:
-                    band_rows = [
+                wb_band = w_rel[jnp.asarray([r for r, _ in band_rel])]
+                temp = temp + band_conv(
+                    feat.astype(self.dtype),
+                    band_masks,
+                    wb_band.astype(self.dtype),
+                    shifts,
+                    self.cfg.pallas_bands == "interpret",
+                ).astype(self.dtype)
+            else:
+                for r, name in band_rel:
+                    rows.append(
                         jnp.where(
                             bands[name][:, None],
                             jnp.roll(feat, -band_shift(name), axis=0),
                             0,
-                        )
-                        if name in bands
-                        else jnp.zeros_like(feat)
-                        for name in names
-                    ]
-                    xs = xs + jnp.stack(band_rows, 0).astype(self.dtype)
+                        ).astype(self.dtype)
+                    )
+                    w_order.append(r)
+            if tbl_rel:
+                # Tabled relations (left/right): one stacked row gather whose
+                # backward is one sorted transpose scatter (ops.table_gather)
+                # instead of one scatter per relation.
+                assert table_inv is not None, "tables require table_inv (packer emits both)"
+                tbl_stack = jnp.stack([tables[name] for _, name in tbl_rel], 0)
+                xg = stacked_table_gather(
+                    feat, tbl_stack, table_inv.u, table_inv.v
+                ).astype(self.dtype)
+                rows.append(xg.reshape(-1, feat.shape[-1]))
+                w_order.extend(r for r, _ in tbl_rel)
+            if rows:
+                xs = jnp.concatenate(rows, 0).reshape(
+                    len(w_order), num_nodes, feat.shape[-1]
+                )
+                wb = w_rel[jnp.asarray(w_order)]
                 temp = temp + jnp.einsum(
                     "rnc,rcd->nd",
                     xs,
-                    w_rel.astype(self.dtype),
-                    preferred_element_type=self.dtype,
-                )
-            elif bands is not None and bands:
-                band_rel = [
-                    (r, name, band_shift(name))
-                    for r, name in enumerate(names)
-                    if name in bands
-                ]
-                xs = jnp.stack(
-                    [
-                        jnp.where(
-                            bands[name][:, None], jnp.roll(feat, -shift, axis=0), 0
-                        )
-                        for (_, name, shift) in band_rel
-                    ],
-                    0,
-                )
-                wb = w_rel[jnp.asarray([r for (r, _, _) in band_rel])]
-                temp = temp + jnp.einsum(
-                    "rnc,rcd->nd",
-                    xs.astype(self.dtype),
                     wb.astype(self.dtype),
                     preferred_element_type=self.dtype,
                 )

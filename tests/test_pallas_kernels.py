@@ -91,3 +91,80 @@ def test_scatter_add_sorted_autodiff():
     a = scatter_add_sorted(data, jnp.asarray(seg_m), n, out=out0, interpret=True)
     b = scatter_add(data, jnp.asarray(seg), n, mask=jnp.asarray(mask), out=out0)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def _band_ref(feat, masks, w, shifts):
+    out = jnp.zeros_like(feat, dtype=jnp.float32)
+    n = feat.shape[0]
+    for j, s in enumerate(shifts):
+        src = jnp.where(masks[j][:, None] > 0, jnp.roll(feat, -s, 0), 0)
+        out = out + (src @ w[j]).astype(jnp.float32)
+    return out.astype(feat.dtype)
+
+
+@pytest.mark.parametrize("n,c", [(512, 128), (1024, 128)])
+def test_band_conv_matches_einsum(n, c):
+    from lanegcn_tpu.ops.pallas_band_conv import band_conv
+
+    shifts = (-1, -2, -4, -8, -16, -32, 1, 2, 4, 8, 16, 32)
+    j = len(shifts)
+    rng = np.random.default_rng(1)
+    feat = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    m = rng.random((j, n)) < 0.6
+    # the kernel zero-pads past the array ends while jnp.roll wraps; real
+    # band masks never mark a wrapped row (edges stay within a lane), so
+    # clear the wrap region for the comparison
+    for k, s in enumerate(shifts):
+        if s > 0:
+            m[k, n - s :] = False
+        else:
+            m[k, : -s] = False
+    masks = jnp.asarray(m.astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(j, c, c)).astype(np.float32) * 0.1)
+
+    got = band_conv(feat, masks, w, shifts, True)
+    expect = _band_ref(feat, masks, w, shifts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-4, atol=1e-4)
+
+    def loss_k(f, ww):
+        return jnp.sum(band_conv(f, masks, ww, shifts, True) ** 2)
+
+    def loss_r(f, ww):
+        return jnp.sum(_band_ref(f, masks, ww, shifts) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(feat, w)
+    gr = jax.grad(loss_r, argnums=(0, 1))(feat, w)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]), rtol=1e-4, atol=1e-3)
+
+
+def test_lane_conv_stack_pallas_interpret_parity():
+    """LaneConvStack with pallas_bands='interpret' must match the einsum
+    path end-to-end on a real packed graph."""
+    import dataclasses
+
+    from lanegcn_tpu.config import Config, ModelConfig, PackConfig
+    from lanegcn_tpu.data import make_synthetic_scenario, pack_batch
+    from lanegcn_tpu.models.map_net import LaneConvStack
+
+    pc = PackConfig(
+        max_scenarios=2, max_actors=32, max_nodes=512,
+        max_edges_scale0=768, max_edges_dilated=1024, max_edges_lr=256,
+        max_a2m_edges=1024, max_m2a_edges=1024, max_a2a_edges=512,
+    )
+    cfg = Config(pack=pc)
+    scens = [make_synthetic_scenario(seed=80 + i, num_corridors=2, num_actors=4) for i in range(2)]
+    batch, _ = pack_batch(scens, pc, cfg.model)
+    batch = jax.tree.map(jnp.asarray, batch)
+    g = batch.graph
+    rng = np.random.default_rng(2)
+    feat = jnp.asarray(rng.normal(size=(pc.max_nodes, cfg.model.n_map)).astype(np.float32))
+
+    stack_x = LaneConvStack(cfg.model, num_layers=2)
+    params = stack_x.init(jax.random.PRNGKey(0), feat, g.edges, g.bands, g.tables, g.table_inv)["params"]
+    expect = stack_x.apply({"params": params}, feat, g.edges, g.bands, g.tables, g.table_inv)
+
+    mcfg_p = dataclasses.replace(cfg.model, pallas_bands="interpret")
+    stack_p = LaneConvStack(mcfg_p, num_layers=2)
+    got = stack_p.apply({"params": params}, feat, g.edges, g.bands, g.tables, g.table_inv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=2e-4, atol=2e-4)

@@ -97,7 +97,70 @@ def main():
     if "fwd" in want:
         timed("forward+loss", loss_fn, params, batch)
     if "grad" in want:
-        timed("value_and_grad", lambda p, b: jax.value_and_grad(loss_fn)(p, b)[0], params, batch)
+        # keep the grads live (returning only the value would DCE the bwd)
+        def vg(p, b):
+            v, g = jax.value_and_grad(loss_fn)(p, b)
+            return v, g
+
+        timed("value_and_grad", vg, params, batch)
+
+    if "parts" in want:
+        # per-module fwd+bwd with real cotangents: grad of sum-of-squares
+        # w.r.t. the module INPUT activations (exercises the data-path VJPs)
+        from lanegcn_tpu.models.actor_net import ActorNet
+        from lanegcn_tpu.models.map_net import MapNet
+        from lanegcn_tpu.models.fusion import A2M, M2A, A2A, M2M
+        from lanegcn_tpu.models.pred_net import PredNet
+
+        nm, na = config.model.n_map, config.model.n_actor
+        nodes = jnp.zeros((batch.graph.ctrs.shape[0], nm), jnp.bfloat16)
+        actors = jnp.zeros((batch.actors.ctrs.shape[0], na), jnp.bfloat16)
+        a_ctrs = batch.actors.ctrs
+
+        def bench_mod(name, mod, *args, wrt=0):
+            p = mod.init(jax.random.PRNGKey(0), *args)["params"]
+
+            def fwd(p, *a):
+                return mod.apply({"params": p}, *a)
+
+            timed(f"{name} fwd", fwd, p, *args)
+            idx = wrt + 1
+
+            def gr(p, *a):
+                f = lambda x: jnp.sum(
+                    jnp.asarray(
+                        jax.tree.leaves(
+                            fwd(p, *a[:wrt], x, *a[wrt + 1 :])
+                        )[0]
+                    ).astype(jnp.float32)
+                    ** 2
+                )
+                return jax.grad(f)(a[wrt])
+
+            timed(f"{name} fwd+bwd(x)", gr, p, *args)
+
+        bench_mod("ActorNet", ActorNet(config.model, dtype=jnp.bfloat16), batch.actors.feats)
+        bench_mod("MapNet-ish M2M", M2M(config.model, dtype=jnp.bfloat16), nodes, batch.graph)
+        bench_mod(
+            "A2M",
+            A2M(config.model, dtype=jnp.bfloat16),
+            nodes, batch.graph, actors, a_ctrs, batch.fusion.a2m,
+        )
+        bench_mod(
+            "M2A",
+            M2A(config.model, dtype=jnp.bfloat16),
+            actors, a_ctrs, nodes, batch.graph.ctrs, batch.fusion.m2a,
+        )
+        bench_mod(
+            "A2A",
+            A2A(config.model, dtype=jnp.bfloat16),
+            actors, a_ctrs, batch.fusion.a2a,
+        )
+        bench_mod(
+            "PredNet",
+            PredNet(config.model, dtype=jnp.bfloat16),
+            actors, a_ctrs,
+        )
 
     # Sub-modules at bench shapes.
     from lanegcn_tpu.models.actor_net import ActorNet
