@@ -87,18 +87,23 @@ def main():
 
     t0 = time.time()
     params, opt_state, m = train_step(params, opt_state, batches[0], 0.0)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])  # value fetch: drains compile + execution
     print(f"# compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    iters = 50
+    # One drained step to estimate real step time, then size the window.
+    t0 = time.time()
+    params, opt_state, m = train_step(params, opt_state, batches[1 % num_batches], 0.0)
+    est = max(time.time() - t0, 1e-4)
+    iters = int(min(50, max(10, 20.0 / est)))
+
     t0 = time.time()
     for i in range(iters):
         params, opt_state, m = train_step(
             params, opt_state, batches[i % num_batches], 0.0
         )
-    jax.block_until_ready(m["loss"])
+    final_loss = float(m["loss"])  # inside the window: forces full drain
     dt = time.time() - t0
-    assert np.isfinite(float(m["loss"])), f"non-finite loss {m['loss']}"
+    assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
 
     scen_per_s = scen_per_batch * iters / dt
     print(

@@ -94,13 +94,13 @@ def main() -> None:
         step = make_parallel_train_step(config, net, tx, lr_fn, mesh)
 
         params, opt_state, m = step(params, opt_state, batch, 0.0)
-        jax.block_until_ready(m["loss"])  # compile + first step
+        _ = float(m["loss"])  # value fetch: compile + first step, drained
 
         iters = int(os.environ.get("SCALING_ITERS", "5"))
         t0 = time.time()
         for _ in range(iters):
             params, opt_state, m = step(params, opt_state, batch, 0.0)
-        jax.block_until_ready(m["loss"])
+        _ = float(m["loss"])  # inside the window: forces full drain
         dt = (time.time() - t0) / iters
         rate = n * scen_per_pack / dt
         if base_rate is None:
