@@ -28,7 +28,7 @@ from lanegcn_tpu.config import ModelConfig, band_shift, relation_names
 from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch
 from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear, torch_uniform_init
 from lanegcn_tpu.ops import masked_gather, scatter_add
-from lanegcn_tpu.ops.pallas_band_conv import band_conv
+from lanegcn_tpu.ops.pallas_lane_layer import fused_lane_layer
 from lanegcn_tpu.ops.table_gather import stacked_table_gather
 
 
@@ -100,23 +100,9 @@ class LaneConvStack(nn.Module):
             assert not (
                 {r for r, _ in band_rel} & {r for r, _ in tbl_rel}
             ), "a relation cannot be both banded and tabled"
+            fused = bool(band_rel) and self._use_pallas_bands()
             rows, w_order = [], []
-            if band_rel and self._use_pallas_bands():
-                # Fused kernel: all 12 shifted masked matmuls accumulate in
-                # VMEM; no [J, N, C] stack (ops/pallas_band_conv.py).
-                shifts = tuple(band_shift(name) for _, name in band_rel)
-                band_masks = jnp.stack(
-                    [bands[name] for _, name in band_rel], 0
-                ).astype(self.dtype)
-                wb_band = w_rel[jnp.asarray([r for r, _ in band_rel])]
-                temp = temp + band_conv(
-                    feat.astype(self.dtype),
-                    band_masks,
-                    wb_band.astype(self.dtype),
-                    shifts,
-                    self.cfg.pallas_bands == "interpret",
-                ).astype(self.dtype)
-            else:
+            if not fused:
                 for r, name in band_rel:
                     rows.append(
                         jnp.where(
@@ -175,11 +161,73 @@ class LaneConvStack(nn.Module):
                 out=temp,
             )
 
-            feat = nn.relu(GroupNorm(name=f"norm_{i}")(temp))
-            feat = Linear(n_map, act=False, dtype=self.dtype, name=f"ctr2_{i}")(feat)
-            feat = nn.relu(feat + res)
+            if fused:
+                # Fully-fused layer: the 12 band matmuls + GN → ReLU →
+                # Linear → GN → residual → ReLU run in one Pallas kernel
+                # (ops/pallas_lane_layer.py); `temp` carries the irregular
+                # part computed above. The shadow modules declare exactly
+                # the parameters the unfused path would (same tree → same
+                # init, checkpoint-compatible either way).
+                shifts = tuple(band_shift(name) for _, name in band_rel)
+                band_masks = jnp.stack(
+                    [bands[name] for _, name in band_rel], 0
+                ).astype(self.dtype)
+                wb_band = w_rel[jnp.asarray([r for r, _ in band_rel])]
+                g1w, g1b = _GroupNormParams(name=f"norm_{i}")(n_map)
+                k2, g2w, g2b = _LinearParams(n_map, name=f"ctr2_{i}")(n_map)
+                feat = fused_lane_layer(
+                    feat.astype(self.dtype),
+                    temp.astype(self.dtype),
+                    band_masks,
+                    wb_band.astype(self.dtype),
+                    k2.astype(self.dtype),
+                    g1w, g1b, g2w, g2b,
+                    shifts,
+                    1e-5,
+                    self.cfg.pallas_bands == "interpret",
+                )
+            else:
+                feat = nn.relu(GroupNorm(name=f"norm_{i}")(temp))
+                feat = Linear(n_map, act=False, dtype=self.dtype, name=f"ctr2_{i}")(feat)
+                feat = nn.relu(feat + res)
             res = feat
         return feat
+
+
+class _GroupNormParams(nn.Module):
+    """Declares GroupNorm's parameters (same names/shapes/inits as
+    models.layers.GroupNorm) without computing — the fused Pallas layer
+    consumes the raw values while keeping the parameter tree identical to
+    the unfused path."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        w = self.param("weight", nn.initializers.ones, (c,))
+        b = self.param("bias", nn.initializers.zeros, (c,))
+        return w, b
+
+
+class _DenseParams(nn.Module):
+    """Parameter shadow of models.layers.Dense(use_bias=False)."""
+
+    n_in: int
+    n_out: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", torch_uniform_init(self.n_in), (self.n_in, self.n_out))
+
+
+class _LinearParams(nn.Module):
+    """Parameter shadow of models.layers.Linear (Dense 'linear' + GN 'norm')."""
+
+    n_out: int
+
+    @nn.compact
+    def __call__(self, n_in: int):
+        k = _DenseParams(n_in, self.n_out, name="linear")()
+        w, b = _GroupNormParams(name="norm")(self.n_out)
+        return k, w, b
 
 
 class MapNet(nn.Module):

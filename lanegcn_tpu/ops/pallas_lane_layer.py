@@ -1,0 +1,323 @@
+"""Pallas TPU kernel: fully-fused LaneConv residual layer.
+
+One kernel computes, per node tile (halo'd windows DMA'd from HBM),
+
+    temp = pre + Σ_j band_j ⊙ (feat shifted s_j) @ Wb_j      (12 MXU matmuls)
+    h    = relu(GN1(temp))                                    (row-local, ng=1)
+    z    = h @ W2
+    out  = relu(GN2(z) + feat)                                (residual)
+
+where `pre` carries the XLA-computed irregular part (ctr Dense + left/right
+table einsum + overflow scatter). Relative to the unfused path this removes
+every intermediate HBM round-trip of the layer tail — temp/h/z/GN
+statistics never leave VMEM.
+
+The hand-written VJP recomputes the forward for the tile + a 32-row halo
+(nothing but the layer inputs is saved), applies the GroupNorm backward
+(torch semantics: biased variance, eps inside rsqrt)
+
+    d_temp = inv · (d_nrm − mean_C(d_nrm) − nrm · mean_C(d_nrm · nrm)),
+
+runs the band transpose convolution on a cotangent halo, and accumulates
+dW_band/dW2/dGN across sequential grid steps into revisited blocks.
+
+Used by LaneConvStack when ModelConfig.pallas_bands enables the Pallas
+path; parity with the unfused XLA formulation is pinned by
+tests/test_pallas_kernels.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO = 32
+_MLANES = 128
+
+
+def _gn_fwd(t, w, b, eps):
+    mu = jnp.mean(t, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(t - mu), axis=1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    nrm = (t - mu) * inv
+    return nrm, inv, nrm * w + b
+
+
+def _gn_bwd(d_y, nrm, inv, w):
+    d_nrm = d_y * w
+    c1 = jnp.mean(d_nrm, axis=1, keepdims=True)
+    c2 = jnp.mean(d_nrm * nrm, axis=1, keepdims=True)
+    return inv * (d_nrm - c1 - nrm * c2)
+
+
+def _fwd_kernel(shifts, tile, eps, x_hbm, m_hbm, pre_ref, wb_ref, w2_ref,
+                g1w_ref, g1b_ref, g2w_ref, g2b_ref, o_ref, xw, mw, sems):
+    b = pl.program_id(0)
+    t = tile
+    win = pl.ds(b * t, t + 2 * HALO)
+    cp_x = pltpu.make_async_copy(x_hbm.at[win], xw, sems.at[0])
+    cp_m = pltpu.make_async_copy(m_hbm.at[win], mw, sems.at[1])
+    cp_x.start()
+    cp_m.start()
+    cp_x.wait()
+    cp_m.wait()
+    x = xw[:, :]
+
+    temp = pre_ref[:, :].astype(jnp.float32)
+    for j, s in enumerate(shifts):
+        rows = x[HALO + s : HALO + s + t, :]
+        m = mw[HALO : HALO + t, j : j + 1]
+        temp += jax.lax.dot_general(
+            rows * m, wb_ref[j, :, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    g1w = g1w_ref[0:1, :].astype(jnp.float32)
+    g1b = g1b_ref[0:1, :].astype(jnp.float32)
+    g2w = g2w_ref[0:1, :].astype(jnp.float32)
+    g2b = g2b_ref[0:1, :].astype(jnp.float32)
+    _, _, h_pre = _gn_fwd(temp, g1w, g1b, eps)
+    h = jnp.maximum(h_pre, 0.0)
+    z = jax.lax.dot_general(
+        h.astype(x.dtype), w2_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    _, _, y = _gn_fwd(z, g2w, g2b, eps)
+    res = x[HALO : HALO + t, :].astype(jnp.float32)
+    o_ref[:, :] = jnp.maximum(y + res, 0.0).astype(o_ref.dtype)
+
+
+def _bwd_kernel(shifts, tile, eps, x_hbm, g_hbm, pre_hbm, m_hbm, wb_ref,
+                w2_ref, g1w_ref, g1b_ref, g2w_ref, g2b_ref,
+                dx_ref, dpre_ref, dwb_ref, dw2_ref, dgn_ref,
+                xw, gw, prew, mw, sems):
+    b = pl.program_id(0)
+    t = tile
+    w2n = t + 2 * HALO  # temp-row window
+    cp_x = pltpu.make_async_copy(x_hbm.at[pl.ds(b * t, t + 4 * HALO)], xw, sems.at[0])
+    cp_g = pltpu.make_async_copy(g_hbm.at[pl.ds(b * t, w2n)], gw, sems.at[1])
+    cp_p = pltpu.make_async_copy(pre_hbm.at[pl.ds(b * t, w2n)], prew, sems.at[2])
+    cp_m = pltpu.make_async_copy(m_hbm.at[pl.ds(b * t, w2n)], mw, sems.at[3])
+    cp_x.start()
+    cp_g.start()
+    cp_p.start()
+    cp_m.start()
+    cp_x.wait()
+    cp_g.wait()
+    cp_p.wait()
+    cp_m.wait()
+    x = xw[:, :]
+
+    @pl.when(b == 0)
+    def _():
+        dwb_ref[:, :, :] = jnp.zeros_like(dwb_ref)
+        dw2_ref[:, :] = jnp.zeros_like(dw2_ref)
+        dgn_ref[:, :] = jnp.zeros_like(dgn_ref)
+
+    # Recompute the forward over the temp-row window [bT - H, bT + T + H).
+    temp = prew[:, :].astype(jnp.float32)
+    for j, s in enumerate(shifts):
+        rows = x[HALO + s : HALO + s + w2n, :]
+        m = mw[:, j : j + 1]
+        temp += jax.lax.dot_general(
+            rows * m, wb_ref[j, :, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    g1w = g1w_ref[0:1, :].astype(jnp.float32)
+    g1b = g1b_ref[0:1, :].astype(jnp.float32)
+    g2w = g2w_ref[0:1, :].astype(jnp.float32)
+    g2b = g2b_ref[0:1, :].astype(jnp.float32)
+    nrm1, inv1, h_pre = _gn_fwd(temp, g1w, g1b, eps)
+    relu1 = (h_pre > 0.0).astype(jnp.float32)
+    h = jnp.maximum(h_pre, 0.0)
+    z = jax.lax.dot_general(
+        h.astype(x.dtype), w2_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    nrm2, inv2, y = _gn_fwd(z, g2w, g2b, eps)
+    res = x[HALO : HALO + w2n, :].astype(jnp.float32)
+    out_mask = ((y + res) > 0.0).astype(jnp.float32)
+
+    g = gw[:, :].astype(jnp.float32)
+    d_y = g * out_mask
+    d_z = _gn_bwd(d_y, nrm2, inv2, g2w)
+    d_h = jax.lax.dot_general(
+        d_z.astype(x.dtype), w2_ref[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),  # @ W2ᵀ
+        preferred_element_type=jnp.float32,
+    ) * relu1
+    d_temp = _gn_bwd(d_h, nrm1, inv1, g1w)
+
+    mid = slice(HALO, HALO + t)
+    # Parameter accumulations over the tile's own rows only.
+    dw2_ref[:, :] += jax.lax.dot_general(
+        h[mid].astype(x.dtype), d_z[mid].astype(x.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dgn_ref[0:1, :] += jnp.sum(d_h[mid] * nrm1[mid], axis=0, keepdims=True)
+    dgn_ref[1:2, :] += jnp.sum(d_h[mid], axis=0, keepdims=True)
+    dgn_ref[2:3, :] += jnp.sum(d_y[mid] * nrm2[mid], axis=0, keepdims=True)
+    dgn_ref[3:4, :] += jnp.sum(d_y[mid], axis=0, keepdims=True)
+
+    dx = d_y[mid]  # residual passthrough
+    for j, s in enumerate(shifts):
+        # dfeat[p] += band_j[p − s] · d_temp[p − s] @ Wb_jᵀ
+        dt_shift = d_temp[HALO - s : HALO - s + t, :]
+        m_shift = mw[HALO - s : HALO - s + t, j : j + 1].astype(jnp.float32)
+        dx += jax.lax.dot_general(
+            dt_shift * m_shift, wb_ref[j, :, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dWb_j += (band_j[u] · feat[u + s])ᵀ d_temp[u], u in tile
+        rows = x[2 * HALO + s : 2 * HALO + s + t, :]
+        m_mid = mw[mid, j : j + 1]
+        dwb_ref[j, :, :] += jax.lax.dot_general(
+            (rows * m_mid).astype(x.dtype), d_temp[mid].astype(x.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dx_ref[:, :] = dx.astype(dx_ref.dtype)
+    dpre_ref[:, :] = d_temp[mid].astype(dpre_ref.dtype)
+
+
+def _pick_tile(n: int) -> int:
+    for t in (1024, 512, 256, 128):
+        if n % t == 0:
+            return t
+    return 0
+
+
+def _mask_plane(masks, pad):
+    j = masks.shape[0]
+    return jnp.pad(masks.T, ((pad, pad), (0, _MLANES - j)))
+
+
+def _row(p):
+    return p.reshape(1, -1)
+
+
+def _fwd_impl(feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b, shifts, eps, interpret):
+    n, c = feat.shape
+    t = _pick_tile(n)
+    assert t, f"num nodes {n} must be a multiple of 128"
+    j = len(shifts)
+    xp = jnp.pad(feat, ((HALO, HALO), (0, 0)))
+    mp = _mask_plane(masks, HALO)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, shifts, t, eps),
+        grid=(n // t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # xp
+            pl.BlockSpec(memory_space=pl.ANY),  # mask plane
+            pl.BlockSpec((t, c), lambda b: (b, 0), memory_space=pltpu.VMEM),  # pre
+            pl.BlockSpec((j, c, c), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t, c), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c), feat.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t + 2 * HALO, c), feat.dtype),
+            pltpu.VMEM((t + 2 * HALO, _MLANES), feat.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, mp, pre, wb, w2, _row(g1w), _row(g1b), _row(g2w), _row(g2b))
+
+
+def _bwd_impl(feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b, g_out, shifts, eps, interpret):
+    n, c = feat.shape
+    t = _pick_tile(n)
+    j = len(shifts)
+    xp = jnp.pad(feat, ((2 * HALO, 2 * HALO), (0, 0)))
+    gp = jnp.pad(g_out.astype(feat.dtype), ((HALO, HALO), (0, 0)))
+    pp = jnp.pad(pre, ((HALO, HALO), (0, 0)))
+    mp = _mask_plane(masks, HALO)
+    dx, dpre, dwb, dw2, dgn = pl.pallas_call(
+        functools.partial(_bwd_kernel, shifts, t, eps),
+        grid=(n // t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # xp (double halo)
+            pl.BlockSpec(memory_space=pl.ANY),  # gp
+            pl.BlockSpec(memory_space=pl.ANY),  # pre (halo)
+            pl.BlockSpec(memory_space=pl.ANY),  # mask plane (halo)
+            pl.BlockSpec((j, c, c), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t, c), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, c), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, c, c), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), feat.dtype),
+            jax.ShapeDtypeStruct((n, c), pre.dtype),
+            jax.ShapeDtypeStruct((j, c, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((8, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t + 4 * HALO, c), feat.dtype),
+            pltpu.VMEM((t + 2 * HALO, c), feat.dtype),
+            pltpu.VMEM((t + 2 * HALO, c), pre.dtype),
+            pltpu.VMEM((t + 2 * HALO, _MLANES), feat.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(xp, gp, pp, mp, wb, w2, _row(g1w), _row(g1b), _row(g2w), _row(g2b))
+    return dx, dpre, dwb, dw2, dgn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def fused_lane_layer(feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b, shifts,
+                     eps=1e-5, interpret=False):
+    """relu(GN2((relu(GN1(pre + band_conv(feat)))) @ w2) + feat).
+
+    feat/pre [N, C]; masks [J, N] 0/1 in feat's dtype; wb [J, C, C];
+    w2 [C, C]; g1w/g1b/g2w/g2b [C] GroupNorm affines; shifts static.
+    """
+    return _fwd_impl(feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b, shifts, eps, interpret)
+
+
+def _vjp_fwd(feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b, shifts, eps, interpret):
+    out = _fwd_impl(feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b, shifts, eps, interpret)
+    return out, (feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b)
+
+
+def _vjp_bwd(shifts, eps, interpret, res, g_out):
+    feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b = res
+    dx, dpre, dwb, dw2, dgn = _bwd_impl(
+        feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b, g_out, shifts, eps, interpret
+    )
+    return (
+        dx,
+        dpre,
+        jnp.zeros_like(masks),
+        dwb.astype(wb.dtype),
+        dw2.astype(w2.dtype),
+        dgn[0].astype(g1w.dtype),
+        dgn[1].astype(g1b.dtype),
+        dgn[2].astype(g2w.dtype),
+        dgn[3].astype(g2b.dtype),
+    )
+
+
+fused_lane_layer.defvjp(_vjp_fwd, _vjp_bwd)

@@ -168,3 +168,47 @@ def test_lane_conv_stack_pallas_interpret_parity():
     stack_p = LaneConvStack(mcfg_p, num_layers=2)
     got = stack_p.apply({"params": params}, feat, g.edges, g.bands, g.tables, g.table_inv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=2e-4, atol=2e-4)
+
+
+def test_lane_conv_stack_pallas_grad_parity():
+    """Gradients through the fused Pallas layer (hand-written GN backward,
+    band transpose conv, dW accumulation) must match the unfused autodiff."""
+    import dataclasses
+
+    from jax.flatten_util import ravel_pytree
+
+    from lanegcn_tpu.config import Config, PackConfig
+    from lanegcn_tpu.data import make_synthetic_scenario, pack_batch
+    from lanegcn_tpu.models.map_net import LaneConvStack
+
+    pc = PackConfig(
+        max_scenarios=2, max_actors=32, max_nodes=512,
+        max_edges_scale0=768, max_edges_dilated=1024, max_edges_lr=256,
+        max_a2m_edges=1024, max_m2a_edges=1024, max_a2a_edges=512,
+    )
+    cfg = Config(pack=pc)
+    scens = [make_synthetic_scenario(seed=90 + i, num_corridors=2, num_actors=4) for i in range(2)]
+    batch, _ = pack_batch(scens, pc, cfg.model)
+    batch = jax.tree.map(jnp.asarray, batch)
+    g = batch.graph
+    rng = np.random.default_rng(3)
+    feat = jnp.asarray(rng.normal(size=(pc.max_nodes, cfg.model.n_map)).astype(np.float32))
+
+    stack_x = LaneConvStack(cfg.model, num_layers=2)
+    params = stack_x.init(jax.random.PRNGKey(0), feat, g.edges, g.bands, g.tables, g.table_inv)["params"]
+    mcfg_p = dataclasses.replace(cfg.model, pallas_bands="interpret")
+    stack_p = LaneConvStack(mcfg_p, num_layers=2)
+
+    def loss(stack, p, f):
+        out = stack.apply({"params": p}, f, g.edges, g.bands, g.tables, g.table_inv)
+        return jnp.sum(out ** 2) / out.size
+
+    gx_p, gx_f = jax.grad(lambda p, f: loss(stack_x, p, f), argnums=(0, 1))(params, feat)
+    gp_p, gp_f = jax.grad(lambda p, f: loss(stack_p, p, f), argnums=(0, 1))(params, feat)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gx_f), rtol=1e-3, atol=1e-5)
+    fx, _ = ravel_pytree(gx_p)
+    fp, _ = ravel_pytree(gp_p)
+    scale = float(jnp.max(jnp.abs(fx))) or 1.0
+    np.testing.assert_allclose(
+        np.asarray(fp) / scale, np.asarray(fx) / scale, rtol=1e-3, atol=1e-4
+    )
