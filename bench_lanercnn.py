@@ -43,18 +43,21 @@ def bench_roi_config(scen: int = 512) -> RoiPackConfig:
     # residuals cap packs at 256 scenarios on a 15.75G chip; with the
     # pooling stages rematerialized (LaneRCNN(remat=True)) 512 fits.
     # Sized from measured synthetic packs so nothing drops.
+    # Measured at 256 scenarios: 2,176 RoIs, 149,616 RoI nodes, 1.34M pool
+    # edges, 44k a2r — capacities carry ~10% headroom (the pack asserts
+    # zero drops below, so an overflow fails loudly rather than silently).
     f = scen // 256
     return RoiPackConfig(
         max_scenarios=scen,
-        max_rois=4096 * f,
-        max_roi_nodes=196608 * f,
+        max_rois=2560 * f,
+        max_roi_nodes=163840 * f,
         max_interest_nodes=24576 * f,
         max_edges_scale0=8192 * f,
         max_edges_dilated=8192 * f,
         max_edges_lr=131072 * f,
         max_a2m_edges=32768 * f,
-        max_pool_edges=int(os.environ.get("BENCH_POOL_CAP", 2097152 * f)),
-        max_a2r_edges=65536 * f,
+        max_pool_edges=int(os.environ.get("BENCH_POOL_CAP", 1474560 * f)),
+        max_a2r_edges=49152 * f,
     )
 
 
