@@ -28,6 +28,32 @@ def _pad_edges(u: np.ndarray, v: np.ndarray, capacity: int) -> Tuple[EdgeSet, in
     return EdgeSet(u=uu, v=vv, mask=mm), dropped
 
 
+def _pad_edges_sorted(
+    u: np.ndarray, v: np.ndarray, capacity: int, num_src: int
+) -> Tuple[EdgeSet, int]:
+    """_pad_edges with the destination-sorted layout + source-side inverse.
+
+    Edges are sorted by destination u (so consumers scatter with
+    indices_are_sorted), and the EdgeSet carries inv_perm/inv_dst — the
+    argsort of v with padding routed to the num_src drop sentinel — so the
+    source gather's backward is one permute + one sorted scatter
+    (ops.table_gather.sorted_transpose_gather)."""
+    order = np.argsort(u, kind="stable")
+    u, v = np.asarray(u)[order], np.asarray(v)[order]
+    es, dropped = _pad_edges(u, v, capacity)
+    n = min(len(u), capacity)
+    inv_perm = np.full(capacity, max(capacity - 1, 0), np.int32)
+    inv_dst = np.full(capacity, num_src, np.int32)
+    if n:
+        o2 = np.argsort(v[:n], kind="stable").astype(np.int32)
+        inv_perm[:n] = o2
+        inv_dst[:n] = v[:n][o2]
+    return (
+        EdgeSet(u=es.u, v=es.v, mask=es.mask, inv_perm=inv_perm, inv_dst=inv_dst),
+        dropped,
+    )
+
+
 def _threshold_edges(
     dst_ctrs: np.ndarray, src_ctrs: np.ndarray, th: float
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -456,22 +482,24 @@ def pack_batch(
         edges[nm], dropped = _pad_edges(u, v, pack_cfg.edge_capacity(nm))
         stats[f"dropped_{nm}"] = dropped
 
-    def _fuse(u, v, cap, name):
-        es, dropped = _pad_edges(u, v, cap)
+    def _fuse(u, v, cap, name, num_src):
+        es, dropped = _pad_edges_sorted(u, v, cap, num_src)
         stats[f"dropped_{name}"] = dropped
         return es
 
     f_off = np.zeros(4, np.int64)
     np.cumsum(per_fus, out=f_off[1:])
     fusion = FusionEdges(
-        a2m=_fuse(fus_u[: f_off[1]], fus_v[: f_off[1]], pack_cfg.max_a2m_edges, "a2m"),
+        a2m=_fuse(
+            fus_u[: f_off[1]], fus_v[: f_off[1]], pack_cfg.max_a2m_edges, "a2m", a_cap
+        ),
         m2a=_fuse(
             fus_u[f_off[1] : f_off[2]], fus_v[f_off[1] : f_off[2]],
-            pack_cfg.max_m2a_edges, "m2a",
+            pack_cfg.max_m2a_edges, "m2a", n_cap,
         ),
         a2a=_fuse(
             fus_u[f_off[2] : f_off[3]], fus_v[f_off[2] : f_off[3]],
-            pack_cfg.max_a2a_edges, "a2a",
+            pack_cfg.max_a2a_edges, "a2a", a_cap,
         ),
     )
 

@@ -28,6 +28,7 @@ from lanegcn_tpu.config import (
 )
 from lanegcn_tpu.data.packing import (
     _pad_edges,
+    _pad_edges_sorted,
     _segment_reorder,
     _threshold_edges,
     pack_batch,
@@ -380,14 +381,21 @@ def pack_roi_batch(
         edges[nm], dropped = _pad_edges(u, v, roi_cfg.edge_capacity(nm))
         stats[f"dropped_{nm}"] = dropped
 
-    def _fuse(u, v, cap, name):
-        es, dropped = _pad_edges(u, v, cap)
+    def _fuse(u, v, cap, name, num_src=None):
+        if num_src is not None:
+            es, dropped = _pad_edges_sorted(u, v, cap, num_src)
+        else:
+            es, dropped = _pad_edges(u, v, cap)
         stats[f"dropped_{name}"] = dropped
         return es
 
     a2m = _fuse(a2m_u, a2m_v, roi_cfg.max_a2m_edges, "a2m")
-    r2g = _fuse(pool_gv, pool_ru, roi_cfg.max_pool_edges, "r2g")  # dest=global
-    g2r = _fuse(pool_ru, pool_gv, roi_cfg.max_pool_edges, "g2r")  # dest=roi
+    # Pool edges ride the destination-sorted layout: the LanePooling
+    # scatter runs indices_are_sorted and the context-feature gather's
+    # backward uses the source-sorted inverse (these are the two largest
+    # edge lists in the model — ~5k per scenario each way).
+    r2g = _fuse(pool_gv, pool_ru, roi_cfg.max_pool_edges, "r2g", m_cap)  # dest=global
+    g2r = _fuse(pool_ru, pool_gv, roi_cfg.max_pool_edges, "g2r", m_cap)  # dest=roi
     a2r = _fuse(a2r_u, a2r_v, roi_cfg.max_a2r_edges, "a2r")
 
     batch = RoiPackedBatch(

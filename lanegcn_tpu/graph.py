@@ -29,15 +29,29 @@ from flax import struct
 
 @struct.dataclass
 class EdgeSet:
-    """Fixed-capacity directed edge list: messages flow v (source) → u (dest)."""
+    """Fixed-capacity directed edge list: messages flow v (source) → u (dest).
+
+    When the packer emits the list destination-sorted (u non-decreasing over
+    valid edges), it also attaches the source-side inverse: inv_perm is the
+    argsort of v (valid edges first), inv_dst = v[inv_perm] non-decreasing
+    with the source-row count as padding sentinel. Consumers then run the
+    forward scatter-add with indices_are_sorted and lower the VJP of the
+    source gather to one permute + one sorted scatter instead of XLA's
+    unsorted scatter (ops.table_gather.sorted_transpose_gather)."""
 
     u: jax.Array  # [E] int32, destination row index
     v: jax.Array  # [E] int32, source row index
     mask: jax.Array  # [E] bool, False on padding
+    inv_perm: jax.Array | None = None  # [E] int32 argsort of v, or None
+    inv_dst: jax.Array | None = None  # [E] int32 sorted v (+ sentinel), or None
 
     @property
     def capacity(self) -> int:
         return self.u.shape[0]
+
+    @property
+    def dst_sorted(self) -> bool:
+        return self.inv_perm is not None
 
     def num_valid(self) -> jax.Array:
         return jnp.sum(self.mask.astype(jnp.int32))

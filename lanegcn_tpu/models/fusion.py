@@ -36,10 +36,25 @@ from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch
 from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear
 from lanegcn_tpu.models.map_net import LaneConvStack
 from lanegcn_tpu.ops import masked_gather, scatter_add
+from lanegcn_tpu.ops.table_gather import sorted_transpose_gather
+
+
+def _edge_gather(x, idx, mask, inv_perm, inv_dst):
+    """Feature gather over edges: sorted-transpose VJP when the packer
+    provided the inverse order, plain masked gather otherwise."""
+    if inv_perm is not None:
+        return sorted_transpose_gather(x, idx, mask, inv_perm, inv_dst)
+    return masked_gather(x, idx, mask)
 
 
 class Att(nn.Module):
-    """Distance-gated sparse attention (reference lanegcn.py:634-710)."""
+    """Distance-gated sparse attention (reference lanegcn.py:634-710).
+
+    With destination-sorted edges (EdgeSet.dst_sorted, the packer default)
+    the aggregation scatter runs with indices_are_sorted, the query
+    gather's backward reuses the same sorted destination order, and the
+    context gather's backward uses the packer's source-sorted inverse —
+    no unsorted XLA scatter appears anywhere in the layer's autodiff."""
 
     n_agt: int
     n_ctx: int
@@ -55,25 +70,40 @@ class Att(nn.Module):
         edges: EdgeSet,  # u → agts rows, v → ctx rows
     ) -> jax.Array:
         res = agts
+        num_agts = agts.shape[0]
+        srt = edges.dst_sorted
 
-        # Per-edge relative offset → dist embedding.
+        # Per-edge relative offset → dist embedding (ctrs are batch data —
+        # no gradient path, plain gathers suffice).
         d = masked_gather(agt_ctrs, edges.u, edges.mask) - masked_gather(
             ctx_ctrs, edges.v, edges.mask
         )
         dist = Dense(self.n_ctx, dtype=self.dtype, name="dist_dense")(d)
         dist = Linear(self.n_ctx, dtype=self.dtype, name="dist_out")(nn.relu(dist))
 
-        # Dense per-row query, gathered onto edges.
+        # Dense per-row query, gathered onto edges. u is the sort key, so
+        # its transpose order is the identity.
         query_all = Linear(self.n_ctx, dtype=self.dtype, name="query")(agts)
-        query = masked_gather(query_all, edges.u, edges.mask)
+        if srt:
+            e = edges.capacity
+            u_sent = jnp.where(edges.mask, edges.u, num_agts)
+            query = sorted_transpose_gather(
+                query_all, edges.u, edges.mask,
+                jnp.arange(e, dtype=jnp.int32), u_sent,
+            )
+        else:
+            query = masked_gather(query_all, edges.u, edges.mask)
 
-        ctx_v = masked_gather(ctx, edges.v, edges.mask)
+        ctx_v = _edge_gather(ctx, edges.v, edges.mask, edges.inv_perm, edges.inv_dst)
         edge_in = jnp.concatenate([dist, query, ctx_v], axis=-1)
         edge_out = Linear(self.n_agt, dtype=self.dtype, name="ctx_hidden")(edge_in)
         edge_out = Dense(self.n_agt, use_bias=False, dtype=self.dtype, name="ctx_out")(edge_out)
 
         agts = Dense(self.n_agt, use_bias=False, dtype=self.dtype, name="agt")(agts)
-        agts = scatter_add(edge_out, edges.u, agts.shape[0], mask=edges.mask, out=agts)
+        agts = scatter_add(
+            edge_out, edges.u, num_agts, mask=edges.mask, out=agts,
+            indices_are_sorted=srt,
+        )
         agts = nn.relu(GroupNorm(name="norm")(agts))
         agts = Linear(self.n_agt, act=False, dtype=self.dtype, name="linear")(agts)
         return nn.relu(agts + res)

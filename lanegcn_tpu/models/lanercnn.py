@@ -89,15 +89,28 @@ class LanePooling(nn.Module):
             target_pose, edges.u, edges.mask
         )
         dist = nn.relu(Dense(self.n, dtype=self.dtype, name="relpose")(d))
+        # Feature gather: with destination-sorted edges (the pool-edge
+        # layout) its backward is one permute + one sorted scatter.
+        from lanegcn_tpu.models.fusion import _edge_gather
+
         ctx = jnp.concatenate(
-            [masked_gather(context_feat, edges.v, edges.mask), dist], axis=-1
+            [
+                _edge_gather(
+                    context_feat, edges.v, edges.mask, edges.inv_perm, edges.inv_dst
+                ),
+                dist,
+            ],
+            axis=-1,
         )
         ctx = Linear(self.n, dtype=self.dtype, name="ctx_hidden")(ctx)
         ctx = Dense(self.n, use_bias=False, dtype=self.dtype, name="ctx_out")(ctx)
 
         identity = target_feat
         tgt = Dense(self.n, use_bias=False, dtype=self.dtype, name="input")(target_feat)
-        tgt = scatter_add(ctx, edges.u, tgt.shape[0], mask=edges.mask, out=tgt)
+        tgt = scatter_add(
+            ctx, edges.u, tgt.shape[0], mask=edges.mask, out=tgt,
+            indices_are_sorted=edges.dst_sorted,
+        )
         tgt = nn.relu(GroupNorm(name="norm")(tgt))
         tgt = Linear(self.n, dtype=self.dtype, name="mlp1")(tgt)
         tgt = Linear(self.n, act=False, dtype=self.dtype, name="mlp2")(tgt)

@@ -35,6 +35,7 @@ def scatter_add(
     num_segments: int,
     mask: jax.Array | None = None,
     out: jax.Array | None = None,
+    indices_are_sorted: bool = False,
 ) -> jax.Array:
     """``out[idx[e]] += data[e]`` for valid edges; TPU-deterministic.
 
@@ -42,12 +43,15 @@ def scatter_add(
     given, accumulates into it (functional: returns the new array).
     Invalid edges have their index set out of range and are dropped by the
     scatter (mode="drop"), so no masking multiply is needed on the data path.
+    indices_are_sorted: pass True when idx is non-decreasing over valid
+    edges AND masked edges come last (the packer's destination-sorted
+    layout — masked indices map to num_segments, preserving the order).
     """
     if mask is not None:
         idx = jnp.where(mask, idx, num_segments)
     if out is None:
         out = jnp.zeros((num_segments,) + data.shape[1:], dtype=data.dtype)
-    return out.at[idx].add(data, mode="drop")
+    return out.at[idx].add(data, mode="drop", indices_are_sorted=indices_are_sorted)
 
 
 def segment_softmax(

@@ -63,3 +63,49 @@ def _bwd(res, g):
 
 
 stacked_table_gather.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def sorted_transpose_gather(
+    x: jax.Array,  # [S, C] source rows
+    idx: jax.Array,  # [E] int32 source index per edge
+    mask: jax.Array,  # [E] bool
+    inv_perm: jax.Array,  # [E] int32 argsort of idx over valid edges
+    inv_dst: jax.Array,  # [E] int32 idx[inv_perm], non-decreasing; >= S drops
+) -> jax.Array:  # [E, C]
+    """masked_gather with a sorted-scatter transpose.
+
+    Forward: x[idx] with masked rows zeroed — identical to
+    ops.scatter.masked_gather. Backward: the automatic VJP of a gather is
+    an UNSORTED scatter-add; here the packer supplies the source-sorted
+    inverse order, so the backward is one row permute + one
+    indices_are_sorted scatter-add (~1.5x on XLA's TPU scatter, and the
+    dominant cost at fusion/pooling edge counts)."""
+    return _stg_impl(x, idx, mask)
+
+
+def _stg_impl(x, idx, mask):
+    out = jnp.take(x, idx, axis=0, mode="clip")
+    return jnp.where(mask[:, None], out, 0)
+
+
+def _stg_fwd(x, idx, mask, inv_perm, inv_dst):
+    proto = jnp.zeros((0,), x.dtype)
+    return _stg_impl(x, idx, mask), (
+        proto, x.shape[0], idx, mask, inv_perm, inv_dst,
+    )
+
+
+def _stg_bwd(res, g):
+    proto, s, idx, mask, inv_perm, inv_dst = res
+    # Padding edges were zeroed in the forward, so their cotangents must not
+    # reach x: inv_dst carries the drop sentinel (>= S) for them.
+    msg = jnp.take(g, inv_perm, axis=0, mode="clip")
+    dx = jnp.zeros((s, g.shape[-1]), g.dtype).at[inv_dst].add(
+        msg, mode="drop", indices_are_sorted=True, unique_indices=False
+    )
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dx.astype(proto.dtype), f0(idx), f0(mask), f0(inv_perm), f0(inv_dst))
+
+
+sorted_transpose_gather.defvjp(_stg_fwd, _stg_bwd)

@@ -103,3 +103,39 @@ def test_scatter_add_deterministic():
     out2 = scatter_add(data, idx, 8)
     assert np.array_equal(np.asarray(out1), np.asarray(out2))
     np.testing.assert_allclose(np.asarray(out1)[0], 1000.0)
+
+
+def test_sorted_transpose_gather_matches_masked_gather_grad():
+    """The sorted-transpose VJP (permute + sorted scatter) must equal the
+    autodiff of the plain masked gather."""
+    import jax
+    import jax.numpy as jnp
+
+    from lanegcn_tpu.ops import masked_gather
+    from lanegcn_tpu.ops.table_gather import sorted_transpose_gather
+
+    rng = np.random.default_rng(7)
+    s, e, c = 64, 200, 16
+    x = jnp.asarray(rng.normal(size=(s, c)).astype(np.float32))
+    idx = rng.integers(0, s, e).astype(np.int32)
+    mask = np.ones(e, bool)
+    mask[150:] = False
+    order = np.argsort(np.where(mask, idx, s), kind="stable")
+    idx, mask = idx[order], mask[order]  # edges destination-ish sorted
+    n_valid = int(mask.sum())
+    inv_perm = np.full(e, e - 1, np.int32)
+    inv_dst = np.full(e, s, np.int32)
+    o2 = np.argsort(idx[:n_valid], kind="stable").astype(np.int32)
+    inv_perm[:n_valid] = o2
+    inv_dst[:n_valid] = idx[:n_valid][o2]
+
+    args = (jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(inv_perm), jnp.asarray(inv_dst))
+
+    out_s = sorted_transpose_gather(x, *args)
+    out_m = masked_gather(x, args[0], args[1])
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_m), rtol=0, atol=0)
+
+    w = jnp.asarray(rng.normal(size=(e, c)).astype(np.float32))
+    g_s = jax.grad(lambda xx: jnp.sum(sorted_transpose_gather(xx, *args) * w))(x)
+    g_m = jax.grad(lambda xx: jnp.sum(masked_gather(xx, args[0], args[1]) * w))(x)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_m), rtol=1e-6, atol=1e-6)
