@@ -100,6 +100,10 @@ class RoiPackConfig:
     max_rois: int = 128          # RoIs (valid agents) across the pack
     max_roi_nodes: int = 12288   # Σ RoI subgraph nodes
     max_interest_nodes: int = 2048  # Σ nodes of interest RoIs (decode)
+    # Shared global lane graph capacity; 0 ⇒ max_roi_nodes (always enough —
+    # every global node appears in ≥0 RoIs — but typically ~2x oversized:
+    # the global graph is the union, RoI nodes are per-agent copies).
+    max_global_nodes: int = 0
     max_edges_scale0: int = 16384
     max_edges_dilated: int = 20480
     max_edges_lr: int = 16384

@@ -203,6 +203,7 @@ def pack_roi_batch(
     names = relation_names(model_cfg.num_scales)
     b_cap, r_cap = roi_cfg.max_scenarios, roi_cfg.max_rois
     m_cap, mi_cap = roi_cfg.max_roi_nodes, roi_cfg.max_interest_nodes
+    g_cap = roi_cfg.max_global_nodes or m_cap
     t_hist, t_pred = model_cfg.num_hist, model_cfg.num_preds
     num_rel = len(names)
 
@@ -212,7 +213,7 @@ def pack_roi_batch(
         # Generous: the global-graph packer must accept every scenario this
         # packer accepted (its skip would desync offsets — asserted below).
         max_actors=64 * b_cap,
-        max_nodes=m_cap,  # global nodes ≤ Σ roi nodes in practice
+        max_nodes=g_cap,  # global nodes ≤ Σ roi nodes; typically ~2x less
         max_edges_scale0=roi_cfg.max_edges_scale0,
         max_edges_dilated=roi_cfg.max_edges_dilated,
         max_edges_lr=roi_cfg.max_edges_lr,
@@ -235,7 +236,7 @@ def pack_roi_batch(
             or r_off + c["num_subs"] > r_cap
             or m_off + c["tot_nodes"] > m_cap
             or mi_off + c["int_nn"] > mi_cap
-            or g_off + c["nn_g"] > m_cap
+            or g_off + c["nn_g"] > g_cap
         ):
             stats["skipped_scenarios"] += 1
             continue
@@ -394,8 +395,8 @@ def pack_roi_batch(
     # scatter runs indices_are_sorted and the context-feature gather's
     # backward uses the source-sorted inverse (these are the two largest
     # edge lists in the model — ~5k per scenario each way).
-    r2g = _fuse(pool_gv, pool_ru, roi_cfg.max_pool_edges, "r2g", m_cap)  # dest=global
-    g2r = _fuse(pool_ru, pool_gv, roi_cfg.max_pool_edges, "g2r", m_cap)  # dest=roi
+    r2g = _fuse(pool_gv, pool_ru, roi_cfg.max_pool_edges, "r2g", m_cap)  # dest=global, src=roi
+    g2r = _fuse(pool_ru, pool_gv, roi_cfg.max_pool_edges, "g2r", g_cap)  # dest=roi, src=global
     a2r = _fuse(a2r_u, a2r_v, roi_cfg.max_a2r_edges, "a2r")
 
     batch = RoiPackedBatch(
