@@ -38,14 +38,11 @@ BASELINE_SCEN_PER_S_PER_CHIP = 235.0 / 4.0
 def bench_roi_config(scen: int = 512) -> RoiPackConfig:
     # Realistic sizes: ~8.5 RoIs and ~570 RoI nodes per scenario. Intra-lane
     # pre/suc edges live in the band masks; the edge lists carry only
-    # cross-lane residue + left/right. Pool edges (~5k/scenario) dominate
-    # capacity and HBM: without remat their per-edge [E, 128] backward
-    # residuals cap packs at 256 scenarios on a 15.75G chip; with the
-    # pooling stages rematerialized (LaneRCNN(remat=True)) 512 fits.
-    # Sized from measured synthetic packs so nothing drops.
-    # Measured at 256 scenarios: 2,176 RoIs, 149,616 RoI nodes, 1.34M pool
-    # edges, 44k a2r — capacities carry ~10% headroom (the pack asserts
-    # zero drops below, so an overflow fails loudly rather than silently).
+    # cross-lane residue + left/right. Pool edges (~5k/scenario each way)
+    # dominate capacity and HBM. Measured at 256 scenarios: 2,176 RoIs,
+    # 149,616 RoI nodes, 79.4k global nodes, 1.34M pool edges, 44k a2r —
+    # capacities carry ~10% headroom (the pack asserts zero drops below,
+    # so an overflow fails loudly rather than silently).
     f = scen // 256
     return RoiPackConfig(
         max_scenarios=scen,
