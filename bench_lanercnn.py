@@ -54,7 +54,10 @@ def bench_roi_config(scen: int = 512) -> RoiPackConfig:
         max_interest_nodes=24576 * f,
         max_edges_scale0=8192 * f,
         max_edges_dilated=8192 * f,
-        max_edges_lr=131072 * f,
+        # left/right ride the [M] neighbor tables (85k each measured, zero
+        # duplicate-destination residue on synthetic corridors); capacity
+        # kept nonzero so the overflow scatter path stays in the program
+        max_edges_lr=4096 * f,
         max_a2m_edges=32768 * f,
         max_pool_edges=int(os.environ.get("BENCH_POOL_CAP", 1474560 * f)),
         max_a2r_edges=49152 * f,

@@ -110,6 +110,13 @@ class RoiPackConfig:
     max_a2m_edges: int = 4096    # agent → RoI-node (≤5 m)
     max_pool_edges: int = 131072  # RoI-node ↔ global-node (≤6 m; ~10 per node)
     max_a2r_edges: int = 8192    # traj-point → interest-node (≤6 m)
+    # Inverse-edge capacity for the RoI subgraphs' left/right neighbor
+    # tables (ops.table_gather). 0 ⇒ 2 × max_roi_nodes (exact bound).
+    max_table_edges: int = 0
+
+    @property
+    def table_edge_capacity(self) -> int:
+        return self.max_table_edges or 2 * self.max_roi_nodes
 
     def edge_capacity(self, relation: str) -> int:
         if relation in ("left", "right"):

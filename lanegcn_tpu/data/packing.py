@@ -217,6 +217,65 @@ def precompute_pack_cache(scen: Dict, model_cfg: ModelConfig) -> Dict:
     return cache
 
 
+def _split_first_per_destination(
+    u: np.ndarray, v: np.ndarray, n_cap: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """First edge per destination → [n_cap] neighbor table (sentinel n_cap);
+    returns (table, residual_u, residual_v)."""
+    tbl = np.full(n_cap, n_cap, np.int32)
+    if len(u):
+        _, first_idx = np.unique(u, return_index=True)
+        first = np.zeros(len(u), bool)
+        first[first_idx] = True
+        tbl[np.asarray(u)[first].astype(np.int64)] = np.asarray(v)[first]
+        u, v = np.asarray(u)[~first], np.asarray(v)[~first]
+    return tbl, u, v
+
+
+def _build_table_inverse(
+    tables: Dict[str, np.ndarray],
+    names: Sequence[str],
+    n_cap: int,
+    cap: int,
+    pend: Dict[str, Tuple[np.ndarray, np.ndarray]],
+    stats: Dict[str, int],
+) -> EdgeSet:
+    """Combined inverse of the neighbor tables (for the table-gather
+    backward): (flat cotangent row stack_row*N + u, stack rows in `names`
+    order over the TABLED relations) → tabled source v, sorted by v. If it
+    overflows capacity, demote the tail's table entries back to the regular
+    edge lists (`pend`, mutated) so (tables, inverse) stay exactly
+    consistent."""
+    tabled_names = [nm for nm in names if nm in tables]
+    srcs, dsts = [], []
+    for r, nm in enumerate(tabled_names):
+        tbl = tables[nm]
+        uu = np.nonzero(tbl < n_cap)[0]
+        srcs.append(r * n_cap + uu.astype(np.int64))
+        dsts.append(tbl[uu].astype(np.int64))
+    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    if len(src) > cap:
+        stats["demoted_table_edges"] = int(len(src) - cap)
+        for flat, vv in zip(src[cap:], dst[cap:]):
+            r, uu = int(flat) // n_cap, int(flat) % n_cap
+            nm = tabled_names[r]
+            tables[nm][uu] = n_cap
+            stats[f"tabled_{nm}"] -= 1
+            pu, pv = pend[nm]
+            pend[nm] = (np.append(pu, uu), np.append(pv, vv))
+        src, dst = src[:cap], dst[:cap]
+    iu = np.full(cap, max(len(tabled_names), 1) * n_cap, np.int32)
+    iv = np.full(cap, n_cap, np.int32)
+    im = np.zeros(cap, bool)
+    iu[: len(src)] = src
+    iv[: len(dst)] = dst
+    im[: len(src)] = True
+    return EdgeSet(u=iu, v=iv, mask=im)
+
+
 def _segment_reorder(
     flat: np.ndarray, counts: np.ndarray, seg_add: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -440,41 +499,9 @@ def pack_batch(
 
     table_inv = None
     if split_tables:
-        # Combined inverse of the tables (for the table-gather backward):
-        # (flat cotangent row stack_row*N + u, stack rows in relation_names
-        # order over the TABLED relations) → tabled source v, sorted by v.
-        # If it overflows capacity, demote the tail's table entries back to
-        # the regular edge lists so (tables, inverse) stay exactly
-        # consistent.
-        tabled_names = [nm for nm in names if nm in tables]
-        srcs, dsts = [], []
-        for r, nm in enumerate(tabled_names):
-            tbl = tables[nm]
-            uu = np.nonzero(tbl < n_cap)[0]
-            srcs.append(r * n_cap + uu.astype(np.int64))
-            dsts.append(tbl[uu].astype(np.int64))
-        src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
-        dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
-        order = np.argsort(dst, kind="stable")
-        src, dst = src[order], dst[order]
-        cap = pack_cfg.table_edge_capacity
-        if len(src) > cap:
-            stats["demoted_table_edges"] = int(len(src) - cap)
-            for flat, vv in zip(src[cap:], dst[cap:]):
-                r, uu = int(flat) // n_cap, int(flat) % n_cap
-                nm = tabled_names[r]
-                tables[nm][uu] = n_cap
-                stats[f"tabled_{nm}"] -= 1
-                pu, pv = pend[nm]
-                pend[nm] = (np.append(pu, uu), np.append(pv, vv))
-            src, dst = src[:cap], dst[:cap]
-        iu = np.full(cap, max(len(tabled_names), 1) * n_cap, np.int32)
-        iv = np.full(cap, n_cap, np.int32)
-        im = np.zeros(cap, bool)
-        iu[: len(src)] = src
-        iv[: len(dst)] = dst
-        im[: len(src)] = True
-        table_inv = EdgeSet(u=iu, v=iv, mask=im)
+        table_inv = _build_table_inverse(
+            tables, names, n_cap, pack_cfg.table_edge_capacity, pend, stats
+        )
 
     edges = {}
     for nm in names:

@@ -27,8 +27,10 @@ from lanegcn_tpu.config import (
     relation_names,
 )
 from lanegcn_tpu.data.packing import (
+    _build_table_inverse,
     _pad_edges,
     _pad_edges_sorted,
+    _split_first_per_destination,
     _segment_reorder,
     _threshold_edges,
     pack_batch,
@@ -198,8 +200,10 @@ def pack_roi_batch(
     runs too, so intra-lane pre/suc edges (v = u + band_shift) become [M]
     band masks and the edge lists keep only the cross-lane residue.
 
-    split_tables: applies to the shared GLOBAL lane graph only (pack_batch
-    semantics); RoI subgraph edges always stay in band masks + edge lists."""
+    split_tables: neighbor tables for left/right, both in the shared GLOBAL
+    lane graph (pack_batch semantics) and in the RoI subgraphs (first edge
+    per destination → [M] table + combined inverse for the backward;
+    duplicate-destination overflow stays in the edge lists)."""
     names = relation_names(model_cfg.num_scales)
     b_cap, r_cap = roi_cfg.max_scenarios, roi_cfg.max_rois
     m_cap, mi_cap = roi_cfg.max_roi_nodes, roi_cfg.max_interest_nodes
@@ -358,8 +362,9 @@ def pack_roi_batch(
         if k.startswith("dropped") and v and k[8:] not in ("a2m", "m2a", "a2a"):
             stats[f"graph_{k}"] = v
 
-    edges = {}
     bands = {} if split_bands else None
+    tables = {} if split_tables else None
+    pend = {}
     off = 0
     j = 0
     for r, nm in enumerate(names):
@@ -379,6 +384,24 @@ def pack_roi_batch(
                 bu = np.nonzero(col)[0]
                 u = np.concatenate([u, bu])
                 v = np.concatenate([v, bu + shift])
+        if split_tables and nm in ("left", "right"):
+            # RoI left/right are functional like the global graph's (nearest
+            # matches restricted to the subgraph) — first edge per
+            # destination rides a [M] neighbor table, duplicates overflow.
+            tbl, u, v = _split_first_per_destination(u, v, m_cap)
+            tables[nm] = tbl
+            stats[f"tabled_{nm}"] = int(np.sum(tbl < m_cap))
+        pend[nm] = (u, v)
+
+    table_inv = None
+    if split_tables:
+        table_inv = _build_table_inverse(
+            tables, names, m_cap, roi_cfg.table_edge_capacity, pend, stats
+        )
+
+    edges = {}
+    for nm in names:
+        u, v = pend[nm]
         edges[nm], dropped = _pad_edges(u, v, roi_cfg.edge_capacity(nm))
         stats[f"dropped_{nm}"] = dropped
 
@@ -425,5 +448,7 @@ def pack_roi_batch(
         has_preds=has_preds,
         scen_mask=scen_mask,
         bands=bands,
+        tables=tables,
+        table_inv=table_inv,
     )
     return batch, stats

@@ -187,6 +187,10 @@ class RoiPackedBatch:
     # Optional intra-lane band masks over [M] per pre/suc relation (same
     # masked-roll encoding as LaneGraphBatch.bands; see data/packing.py).
     bands: Dict[str, jax.Array] | None = None
+    # Optional left/right neighbor tables over [M] + their combined inverse
+    # (same encoding as LaneGraphBatch.tables/table_inv).
+    tables: Dict[str, jax.Array] | None = None
+    table_inv: EdgeSet | None = None
 
 
 def empty_edge_set(capacity: int) -> EdgeSet:

@@ -61,11 +61,14 @@ class LaneRoI(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feat: jax.Array, edges: Dict[str, EdgeSet], bands=None) -> jax.Array:
+    def __call__(
+        self, feat: jax.Array, edges: Dict[str, EdgeSet], bands=None,
+        tables=None, table_inv=None,
+    ) -> jax.Array:
         feat = Linear(self.cfg.n_map, dtype=self.dtype, name="input")(feat)
         return LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="fuse"
-        )(feat, edges, bands)
+        )(feat, edges, bands, tables, table_inv)
 
 
 class LanePooling(nn.Module):
@@ -358,13 +361,13 @@ class LaneRCNN(nn.Module):
     def __call__(self, batch: RoiPackedBatch) -> Dict[str, jax.Array]:
         feat = LaneInput(self.cfg, dtype=self.dtype, name="input")(batch)
         feat = LaneRoI(self.cfg, dtype=self.dtype, name="roi_net1")(
-            feat, batch.edges, batch.bands
+            feat, batch.edges, batch.bands, batch.tables, batch.table_inv
         )
         feat = Interactor(
             self.cfg, dtype=self.dtype, remat=self.remat, name="interactor"
         )(batch, feat)
         feat = LaneRoI(self.cfg, dtype=self.dtype, name="roi_net2")(
-            feat, batch.edges, batch.bands
+            feat, batch.edges, batch.bands, batch.tables, batch.table_inv
         )
         logits, goals, trajs = Decode(
             self.cfg, dtype=self.dtype, remat=self.remat, name="decode"

@@ -56,7 +56,7 @@ def main():
     batch = jax.tree.map(jnp.asarray, batch)
     print(f"# packed in {time.time()-t0:.1f}s", flush=True)
 
-    net = LaneRCNN(config.model, dtype=jnp.bfloat16, remat=True)
+    net = LaneRCNN(config.model, dtype=jnp.bfloat16, remat=False)
     params = net.init(jax.random.PRNGKey(0), batch)["params"]
     tx, lr_fn = make_optimizer(config.train)
     opt_state = tx.init(params)
@@ -93,7 +93,7 @@ def main():
             lrp, feat, grad_wrt=1,
         )
 
-        it = Interactor(config.model, dtype=jnp.bfloat16, remat=True)
+        it = Interactor(config.model, dtype=jnp.bfloat16, remat=False)
         itp = it.init(jax.random.PRNGKey(0), batch, feat)["params"]
         timed("Interactor fwd", lambda p, f: it.apply({"params": p}, batch, f), itp, feat)
         timed(
@@ -102,7 +102,7 @@ def main():
             itp, feat, grad_wrt=1,
         )
 
-        dc = Decode(config.model, dtype=jnp.bfloat16, remat=True)
+        dc = Decode(config.model, dtype=jnp.bfloat16, remat=False)
         dcp = dc.init(jax.random.PRNGKey(0), feat, batch)["params"]
         timed("Decode fwd", lambda p, f: dc.apply({"params": p}, f, batch), dcp, feat)
         timed(
