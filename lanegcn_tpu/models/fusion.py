@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from lanegcn_tpu.config import ModelConfig
 from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch
-from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear
+from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear, SplitLinear
 from lanegcn_tpu.models.map_net import LaneConvStack
 from lanegcn_tpu.ops import masked_gather, scatter_add
 from lanegcn_tpu.ops.table_gather import sorted_transpose_gather
@@ -81,22 +81,33 @@ class Att(nn.Module):
         dist = Dense(self.n_ctx, dtype=self.dtype, name="dist_dense")(d)
         dist = Linear(self.n_ctx, dtype=self.dtype, name="dist_out")(nn.relu(dist))
 
-        # Dense per-row query, gathered onto edges. u is the sort key, so
-        # its transpose order is the identity.
+        # Dense per-row query, projected by its ctx_hidden kernel slice
+        # BEFORE the edge gather. u is the sort key, so its transpose order
+        # is the identity.
         query_all = Linear(self.n_ctx, dtype=self.dtype, name="query")(agts)
         if srt:
             e = edges.capacity
             u_sent = jnp.where(edges.mask, edges.u, num_agts)
-            query = sorted_transpose_gather(
-                query_all, edges.u, edges.mask,
+            gather_q = lambda rows: sorted_transpose_gather(
+                rows, edges.u, edges.mask,
                 jnp.arange(e, dtype=jnp.int32), u_sent,
             )
         else:
-            query = masked_gather(query_all, edges.u, edges.mask)
+            gather_q = lambda rows: masked_gather(rows, edges.u, edges.mask)
+        gather_c = lambda rows: _edge_gather(
+            rows, edges.v, edges.mask, edges.inv_perm, edges.inv_dst
+        )
 
-        ctx_v = _edge_gather(ctx, edges.v, edges.mask, edges.inv_perm, edges.inv_dst)
-        edge_in = jnp.concatenate([dist, query, ctx_v], axis=-1)
-        edge_out = Linear(self.n_agt, dtype=self.dtype, name="ctx_hidden")(edge_in)
+        # ctx_hidden = Linear over concat([dist, query, ctx]); the query and
+        # ctx segments are per-row functions, so their kernel slices apply
+        # densely at row count (A and C rows) instead of edge count E —
+        # exact factorization, same param tree (reference lanegcn.py:693-700).
+        edge_out = SplitLinear(
+            self.n_agt,
+            widths=(self.n_ctx, self.n_ctx, self.n_ctx),
+            dtype=self.dtype,
+            name="ctx_hidden",
+        )([(dist, None), (query_all, gather_q), (ctx, gather_c)])
         edge_out = Dense(self.n_agt, use_bias=False, dtype=self.dtype, name="ctx_out")(edge_out)
 
         agts = Dense(self.n_agt, use_bias=False, dtype=self.dtype, name="agt")(agts)

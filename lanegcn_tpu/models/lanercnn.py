@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from lanegcn_tpu.config import LossConfig, ModelConfig
 from lanegcn_tpu.graph import EdgeSet, RoiPackedBatch
-from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear
+from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear, SplitLinear
 from lanegcn_tpu.models.lanegcn import smooth_l1
 from lanegcn_tpu.models.map_net import LaneConvStack
 from lanegcn_tpu.ops import masked_gather, scatter_add
@@ -96,16 +96,15 @@ class LanePooling(nn.Module):
         # layout) its backward is one permute + one sorted scatter.
         from lanegcn_tpu.models.fusion import _edge_gather
 
-        ctx = jnp.concatenate(
-            [
-                _edge_gather(
-                    context_feat, edges.v, edges.mask, edges.inv_perm, edges.inv_dst
-                ),
-                dist,
-            ],
-            axis=-1,
+        # ctx_hidden = Linear over concat([ctx_gathered, dist]); the context
+        # segment is per-source-row, so its kernel slice applies densely at
+        # context-row count before the edge gather (lanercnn.py:497-505).
+        gather_c = lambda rows: _edge_gather(
+            rows, edges.v, edges.mask, edges.inv_perm, edges.inv_dst
         )
-        ctx = Linear(self.n, dtype=self.dtype, name="ctx_hidden")(ctx)
+        ctx = SplitLinear(
+            self.n, widths=(self.n, self.n), dtype=self.dtype, name="ctx_hidden"
+        )([(context_feat, gather_c), (dist, None)])
         ctx = Dense(self.n, use_bias=False, dtype=self.dtype, name="ctx_out")(ctx)
 
         identity = target_feat

@@ -88,6 +88,59 @@ class Linear(nn.Module):
         return y
 
 
+class _BareKernel(nn.Module):
+    """Holds a Linear-compatible kernel param without applying it."""
+
+    n_in: int
+    n_out: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", torch_uniform_init(self.n_in), (self.n_in, self.n_out))
+
+
+class SplitLinear(nn.Module):
+    """`Linear` over a virtual concatenation, evaluated as a sum of
+    per-segment matmuls so the [E, sum(widths)] concat never materializes.
+
+    Parameter tree is identical to `Linear(n_out)` applied to the
+    concatenation (`linear/kernel` of shape [sum(widths), n_out], `norm/*`),
+    so checkpoints and parity harnesses are unaffected.
+
+    Each part is `(x, gather_fn)`: x is matmul'd against its kernel slice
+    first, then `gather_fn` (if given) maps the product rows onto the output
+    rows (e.g. an edge gather). Because the blocks feeding a norm are
+    bias-free, projecting dense per-row segments BEFORE the edge gather is
+    exact — and moves that segment's matmul from edge count E down to row
+    count (the classic SDDMM factorization)."""
+
+    n_out: int
+    widths: tuple
+    ng: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts) -> jax.Array:
+        assert len(parts) == len(self.widths)
+        n_in = sum(self.widths)
+        kernel = _BareKernel(n_in, self.n_out, name="linear")()
+        off = 0
+        z = None
+        for (x, gather_fn), w in zip(parts, self.widths):
+            piece = jnp.dot(
+                x.astype(self.dtype), kernel[off : off + w].astype(self.dtype)
+            )
+            if gather_fn is not None:
+                piece = gather_fn(piece)
+            z = piece if z is None else z + piece
+            off += w
+        z = GroupNorm(self.ng, name="norm")(z)
+        if self.act:
+            z = nn.relu(z)
+        return z
+
+
 class LinearRes(nn.Module):
     """Linear residual block (reference layers.py:193-238)."""
 
