@@ -250,7 +250,15 @@ class Decode(nn.Module):
 
         logits = pred[:, 0]
         pred_xy = anc_ctrs + pred[:, 1:3]
-        pred_theta = anc_theta + jnp.arctan(pred[:, 3] / pred[:, 4])
+        # Reference computes arctan(p3/p4) on raw network outputs
+        # (lanercnn.py:785-826); a sign-preserving epsilon on the denominator
+        # keeps the same value everywhere |p4| > eps while making a 0-output
+        # at init yield a finite angle instead of inf→NaN trajectories.
+        denom = pred[:, 4]
+        safe_denom = jnp.where(
+            jnp.abs(denom) < 1e-6, jnp.where(denom < 0, -1e-6, 1e-6), denom
+        )
+        pred_theta = anc_theta + jnp.arctan(pred[:, 3] / safe_denom)
 
         sel = segmented_nms(
             pred_xy, logits, batch.int_node_scen, batch.int_node_mask, b, k

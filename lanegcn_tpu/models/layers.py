@@ -112,7 +112,11 @@ class SplitLinear(nn.Module):
     rows (e.g. an edge gather). Because the blocks feeding a norm are
     bias-free, projecting dense per-row segments BEFORE the edge gather is
     exact — and moves that segment's matmul from edge count E down to row
-    count (the classic SDDMM factorization)."""
+    count (the classic SDDMM factorization).
+
+    Exactness is up to floating-point summation order: bit-identical to the
+    fused concat matmul in fp32, but in bf16 the per-segment matmul-then-add
+    rounds differently than one matmul over the concatenation."""
 
     n_out: int
     widths: tuple
@@ -127,7 +131,10 @@ class SplitLinear(nn.Module):
         kernel = _BareKernel(n_in, self.n_out, name="linear")()
         off = 0
         z = None
-        for (x, gather_fn), w in zip(parts, self.widths):
+        for i, ((x, gather_fn), w) in enumerate(zip(parts, self.widths)):
+            assert x.shape[-1] == w, (
+                f"SplitLinear part {i}: feature dim {x.shape[-1]} != declared width {w}"
+            )
             piece = jnp.dot(
                 x.astype(self.dtype), kernel[off : off + w].astype(self.dtype)
             )

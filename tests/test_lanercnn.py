@@ -251,3 +251,20 @@ def test_remat_pooling_parity(batch, forward):
     g1 = jax.grad(loss_fn(net_r))(params)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_decode_theta_epsilon_numerics():
+    """The sign-preserving epsilon on the Decode theta ratio matches the raw
+    arctan(p3/p4) wherever |p4| > eps and stays finite at p4 == 0
+    (reference lanercnn.py:785-826 divides by a raw network output)."""
+    p3 = jnp.array([0.5, -0.3, 1.0, 0.0, 2.0], jnp.float32)
+    p4 = jnp.array([1.0, -2.0, 0.0, 0.0, -1e-9], jnp.float32)
+    safe = jnp.where(jnp.abs(p4) < 1e-6, jnp.where(p4 < 0, -1e-6, 1e-6), p4)
+    theta = jnp.arctan(p3 / safe)
+    assert np.all(np.isfinite(np.asarray(theta)))
+    ok = np.abs(np.asarray(p4)) > 1e-6
+    np.testing.assert_allclose(
+        np.asarray(theta)[ok], np.arctan(np.asarray(p3)[ok] / np.asarray(p4)[ok])
+    )
+    # zero denominator → ±pi/2-ish, sign carried by the numerator
+    assert float(theta[2]) == pytest.approx(np.pi / 2, abs=1e-4)

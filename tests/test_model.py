@@ -225,3 +225,18 @@ def test_table_gather_grad_parity(cfg, params_and_out):
     np.testing.assert_allclose(
         np.asarray(flat_t) / scale, np.asarray(flat_l) / scale, rtol=1e-4, atol=1e-4
     )
+
+
+def test_split_linear_width_mismatch_raises():
+    """SplitLinear raises a clear error when a part's feature dim disagrees
+    with its declared width (ADVICE round 1)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from lanegcn_tpu.models.layers import SplitLinear
+
+    m = SplitLinear(8, widths=(4, 4))
+    parts_bad = [(jnp.ones((3, 4)), None), (jnp.ones((3, 5)), None)]
+    with pytest.raises(AssertionError, match="declared width"):
+        m.init(jax.random.PRNGKey(0), parts_bad)
