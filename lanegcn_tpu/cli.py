@@ -129,13 +129,33 @@ def _parse_mesh(spec):
     return data, graph
 
 
+def _setup_runtime(args):
+    """Platform override + multi-host init, before any jax device use."""
+    import jax
+
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
+    from lanegcn_tpu.parallel.multihost import initialize_distributed
+
+    if getattr(args, "dist_nproc", None) or getattr(args, "dist_coordinator", None):
+        initialize_distributed(
+            coordinator_address=args.dist_coordinator,
+            num_processes=args.dist_nproc,
+            process_id=args.dist_procid,
+        )
+    return jax.process_index(), jax.process_count()
+
+
 def cmd_train(args):
     import dataclasses
+
+    pi, pc = _setup_runtime(args)
 
     import jax
     import jax.numpy as jnp
 
     from lanegcn_tpu.models.registry import get_model
+    from lanegcn_tpu.parallel.multihost import process_seed
     from lanegcn_tpu.train.checkpoint import load_checkpoint, load_pretrain, save_checkpoint
     from lanegcn_tpu.train.loop import MetricAccumulator, make_eval_step, make_train_step
     from lanegcn_tpu.train.optimizer import make_optimizer
@@ -144,7 +164,8 @@ def cmd_train(args):
 
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
-        sys.stdout = TeeLogger(os.path.join(args.save_dir, "log"))
+        log_name = "log" if pi == 0 else f"log.{pi}"
+        sys.stdout = TeeLogger(os.path.join(args.save_dir, log_name))
 
     config = _default_config(args)
     bundle = get_model(args.model, config)
@@ -153,18 +174,24 @@ def cmd_train(args):
         config = dataclasses.replace(
             config, train=dataclasses.replace(config.train, seed=args.seed)
         )
-    if args.save_dir:
+    if args.save_dir and pi == 0:
         _snapshot_run(args.save_dir, args, config)
     dataset = _parse_data(args.data, args.model)
     if args.rot_aug:
         from lanegcn_tpu.data.augment import RotationAugment
 
-        dataset = RotationAugment(dataset, seed=config.train.seed)
+        # Augmentation RNG differs per host (reference per-rank seeding,
+        # train.py:55-59); the *shuffle* seed stays shared so the strided
+        # process shards below are disjoint.
+        dataset = RotationAugment(dataset, seed=process_seed(config.train.seed))
     loader = _make_loader(
         dataset, config, args.model,
         shuffle=True, seed=config.train.seed, pack_workers=args.workers,
+        process_index=pi, process_count=pc,
     )
 
+    if pc > 1 and not args.mesh:
+        args.mesh = str(len(jax.devices()))  # pure DP over every chip
     mesh = None
     if args.mesh:
         from lanegcn_tpu.parallel import (
@@ -175,24 +202,47 @@ def cmd_train(args):
         )
 
         data_n, graph_n = _parse_mesh(args.mesh)
+        assert data_n % pc == 0, (
+            f"data mesh axis {data_n} must be a multiple of process count {pc}"
+        )
         mesh = make_mesh_2d(data=data_n, graph=graph_n)
-        print(f"mesh: data={data_n} x graph={graph_n} on "
-              f"{[d.platform for d in mesh.devices.flat][0]}")
+        if pi == 0:
+            print(f"mesh: data={data_n} x graph={graph_n} on "
+                  f"{[d.platform for d in mesh.devices.flat][0]}, "
+                  f"{pc} process(es)")
     else:
         data_n = 1
-    # One optimizer step consumes data_n packs (one per data-mesh slot).
-    steps_per_epoch = max(loader.steps_per_epoch() // data_n, 1)
+    # One optimizer step consumes data_n packs globally; each process packs
+    # its data_local share and assembles the rest via global arrays.
+    data_local = data_n // pc
+    steps_per_epoch = max(loader.steps_per_epoch() // data_local, 1)
+    state = {"first_pack": None, "shardings": None}
+
+    def to_global(stacked):
+        if state["shardings"] is None:
+            state["shardings"] = graph_batch_shardings(mesh, stacked)
+        if pc == 1:
+            return stacked
+        return jax.tree.map(
+            lambda sh, x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            state["shardings"], stacked,
+        )
 
     def global_batches(epoch_i):
-        """Yield per-step batches: single packs, or stacked groups of data_n."""
+        """Yield per-step batches: single packs, or stacked groups of
+        data_local local packs assembled into a global [data_n, ...] batch."""
         group = []
         for b in loader.epoch(epoch_i):
             if mesh is None:
+                if state["first_pack"] is None:
+                    state["first_pack"] = b
                 yield jax.tree.map(jnp.asarray, b)
                 continue
             group.append(b)
-            if len(group) == data_n:
-                yield stack_packs(group)
+            if len(group) == data_local:
+                if state["first_pack"] is None:
+                    state["first_pack"] = group[0]
+                yield to_global(stack_packs(group))
                 group = []
 
     sample = None
@@ -200,7 +250,7 @@ def cmd_train(args):
         sample = b
         break
     init_sample = (
-        jax.tree.map(lambda x: jnp.asarray(x[0]), sample) if mesh is not None else sample
+        jax.tree.map(jnp.asarray, state["first_pack"]) if mesh is not None else sample
     )
     net = bundle.net
     if args.bf16:
@@ -222,10 +272,9 @@ def cmd_train(args):
             config, net, tx, lr_fn, bundle.loss_fn, bundle.metrics_fn
         )
     else:
-        shardings = graph_batch_shardings(mesh, sample)
         train_step = make_parallel_train_step(
             config, net, tx, lr_fn, mesh, bundle.loss_fn, bundle.metrics_fn,
-            batch_shardings=shardings,
+            batch_shardings=state["shardings"],
         )
     eval_step = make_eval_step(config, net, bundle.loss_fn, bundle.metrics_fn)
     val_dataset = _parse_data(args.val_data, args.model) if args.val_data else None
@@ -239,8 +288,9 @@ def cmd_train(args):
     )
     t0 = time.time()
     num_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
-    print(f"model {args.model}: {num_params:,} params, "
-          f"{steps_per_epoch} steps/epoch on {jax.devices()[0].platform}")
+    if pi == 0:
+        print(f"model {args.model}: {num_params:,} params, "
+              f"{steps_per_epoch} steps/epoch on {jax.devices()[0].platform}")
     profiling = False
     last_val_step = -1
 
@@ -260,33 +310,43 @@ def cmd_train(args):
                     profiling = False
                     print(f"wrote profiler trace to {args.profile}")
                 if step % args.display_every == 0:
+                    # Under a mesh the metric sums come out of the jitted
+                    # step already globally psum-reduced (replicated), so
+                    # the summary is the cross-host total on every process
+                    # — the XLA-native form of the reference's MPI
+                    # allgather (train.py:245-255).
                     s = acc.summary()
-                    print(
-                        f"epoch {epoch:.3f} lr {float(metrics['lr']):.5f} "
-                        f"loss {s['loss']:.4f} {s['cls']:.4f} {s['reg']:.4f}, "
-                        f"ade1 {s['ade1']:.4f}, fde1 {s['fde1']:.4f}, "
-                        f"ade {s['ade']:.4f}, fde {s['fde']:.4f}, "
-                        f"time {time.time() - t0:.2f}"
-                    )
+                    if pi == 0:
+                        print(
+                            f"epoch {epoch:.3f} lr {float(metrics['lr']):.5f} "
+                            f"loss {s['loss']:.4f} {s['cls']:.4f} {s['reg']:.4f}, "
+                            f"ade1 {s['ade1']:.4f}, fde1 {s['fde1']:.4f}, "
+                            f"ade {s['ade']:.4f}, fde {s['fde']:.4f}, "
+                            f"time {time.time() - t0:.2f}"
+                        )
                     acc.reset()
                     t0 = time.time()
                 epoch_now = step / steps_per_epoch
                 if guard.triggered:
                     # Preempted: write a resumable checkpoint and exit cleanly
                     # (the reference would just die; --resume continues here).
-                    if args.save_dir:
+                    # Params are replicated, so rank 0's copy is the global
+                    # state (reference rank-0 save, train.py:230-242).
+                    if args.save_dir and pi == 0:
                         path = os.path.join(args.save_dir, "%3.3f.ckpt" % epoch_now)
                         save_checkpoint(path, params, opt_state, step, epoch_now)
                         print(f"{guard.signal_name}: saved {path}, exiting")
                     else:
-                        print(f"{guard.signal_name}: no --save-dir, exiting")
+                        print(f"{guard.signal_name}: exiting")
                     if profiling:
                         jax.profiler.stop_trace()
                     return
-                if args.save_dir and next_save is not None and epoch_now >= next_save:
+                if args.save_dir and pi == 0 and next_save is not None and epoch_now >= next_save:
                     path = os.path.join(args.save_dir, "%3.3f.ckpt" % epoch_now)
                     save_checkpoint(path, params, opt_state, step, epoch_now)
                     print(f"saved {path}")
+                    next_save += save_freq
+                elif next_save is not None and epoch_now >= next_save:
                     next_save += save_freq
                 if next_val is not None and epoch_now >= next_val:
                     _run_eval(config, bundle, params, val_dataset, eval_step)
@@ -300,38 +360,74 @@ def cmd_train(args):
 
 
 def _run_eval(config, bundle, params, dataset, eval_step=None, submission=None):
+    """Validation/inference over every scenario of `dataset`.
+
+    Multi-host: each process evaluates a disjoint strided shard and the
+    per-sequence metric sums reduce across hosts (reference MPI allgather,
+    train.py:245-255). Scenarios a pack skips for capacity are counted and
+    reported — the reference evaluates every scenario (test.py:82-90), so a
+    nonzero drop count here flags an undersized eval PackConfig.
+    """
     import jax
     import jax.numpy as jnp
 
-    from lanegcn_tpu.eval import evaluate_predictions
+    from lanegcn_tpu.eval import forecasting_metric_sums, metrics_from_sums
+    from lanegcn_tpu.parallel.multihost import sync_metric_sums
     from lanegcn_tpu.train.loop import make_eval_step
 
+    pi, pc = jax.process_index(), jax.process_count()
+    if pc > 1:
+        # Evaluate on local devices only: pull the replicated params to host
+        # so the plain-jit eval step never mixes global and local arrays.
+        params = jax.tree.map(np.asarray, params)
     if eval_step is None:
         eval_step = make_eval_step(config, bundle.net, bundle.loss_fn, bundle.metrics_fn)
-    loader = _make_loader(dataset, config, bundle.name, shuffle=False)
-    preds, gts = [], []
+    drop_stats: list = []
+    loader = _make_loader(
+        dataset, config, bundle.name, shuffle=False,
+        process_index=pi, process_count=pc, drop_stats=drop_stats,
+    )
+    preds, gts, probs, seq_ids = [], [], [], []
     t0 = time.time()
     for b in loader.epoch(0):
         batch = jax.tree.map(jnp.asarray, b)
         out, _ = eval_step(params, batch)
-        p, g = bundle.extract_fn(out, batch)
+        p, g, pr = bundle.extract_fn(out, batch)
         preds.append(p)
         gts.append(g)
-    preds = np.concatenate(preds, 0)
-    gts = np.concatenate(gts, 0)
+        probs.append(pr)
+    k, t = config.model.num_mods, config.model.num_preds
+    preds = np.concatenate(preds, 0) if preds else np.zeros((0, k, t, 2), np.float32)
+    gts = np.concatenate(gts, 0) if gts else np.zeros((0, t, 2), np.float32)
+    probs = np.concatenate(probs, 0) if probs else np.zeros((0, k), np.float32)
+    seq_ids = np.concatenate(
+        [np.asarray(s["seq_ids"], np.int64) for s in drop_stats]
+    ) if drop_stats else np.zeros(0, np.int64)
+    dropped = sum(s.get("skipped_scenarios", 0) for s in drop_stats)
     if submission:
         from lanegcn_tpu.eval import write_submission
 
-        write_submission(submission, preds, np.arange(len(preds)))
-        print(f"wrote submission to {submission}")
-    metrics = evaluate_predictions(preds, gts)
-    print(f"validation: {len(preds)} scenarios in {time.time() - t0:.1f}s")
-    for k, v in metrics.items():
-        print(f"  {k}: {v:.4f}")
+        path = submission if pc == 1 else f"{submission}.part{pi}"
+        write_submission(path, preds, seq_ids, probabilities=probs)
+        print(f"wrote submission to {path}")
+    sums = forecasting_metric_sums(preds, gts)
+    sums["dropped"] = float(dropped)
+    sums = sync_metric_sums(sums)
+    metrics = metrics_from_sums({k_: v for k_, v in sums.items() if k_ != "dropped"})
+    if pi == 0:
+        print(
+            f"validation: {int(sums['count'])} scenarios in {time.time() - t0:.1f}s"
+            + (f" (WARNING: {int(sums['dropped'])} dropped over pack capacity)"
+               if sums["dropped"] else "")
+        )
+        for k_, v in metrics.items():
+            print(f"  {k_}: {v:.4f}")
     return metrics
 
 
 def cmd_eval(args):
+    _setup_runtime(args)
+
     import jax
     import jax.numpy as jnp
 
@@ -421,7 +517,16 @@ def main(argv=None):
                     help="capture a jax.profiler trace of steps 5-10 to DIR")
     pt.add_argument("--mesh", default=None, metavar="DxG",
                     help="device mesh, e.g. 4 (data) or 4x2 (data x graph); "
-                         "default single-device")
+                         "default single-device (multi-process: all devices)")
+    pt.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) before device init")
+    pt.add_argument("--dist-coordinator", default=None, metavar="HOST:PORT",
+                    help="jax.distributed coordinator for manual multi-host "
+                         "setups (TPU pods auto-discover without flags)")
+    pt.add_argument("--dist-nproc", type=int, default=None,
+                    help="total process count for manual multi-host setups")
+    pt.add_argument("--dist-procid", type=int, default=None,
+                    help="this process's id for manual multi-host setups")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("eval")
@@ -431,6 +536,8 @@ def main(argv=None):
     pe.add_argument("--batch-size", type=int, default=8)
     pe.add_argument("--submission", default=None,
                     help="write a competition submission file (h5/npz)")
+    pe.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) before device init")
     pe.set_defaults(fn=cmd_eval)
 
     pp = sub.add_parser("preprocess")

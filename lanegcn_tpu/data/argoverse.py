@@ -159,6 +159,13 @@ class ArgoScenarioDataset:
     def __getitem__(self, idx: int) -> Dict:
         raw = read_argo_csv(self.paths[idx])
         data = build_scenario(raw, self.map_provider, num_scales=self.num_scales)
+        # Argoverse convention: the CSV filename stem is the sequence id
+        # (reference ArgoTestDataset attaches argo_id, data.py:364-434).
+        stem = os.path.splitext(os.path.basename(self.paths[idx]))[0]
+        try:
+            data["seq_id"] = int(stem)
+        except ValueError:
+            data["seq_id"] = idx
         if self.with_rois:
             from lanegcn_tpu.data.lane_roi import generate_lane_rois
 

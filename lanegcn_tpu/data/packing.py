@@ -347,6 +347,10 @@ def pack_batch(
     t_hist, t_pred = model_cfg.num_hist, model_cfg.num_preds
 
     stats = {"skipped_scenarios": 0, "packed_scenarios": 0}
+    # Submission identity of accepted scenarios, in packed order (reference
+    # attaches argo_id/city per scenario, data.py:364-434, test.py:110-113).
+    stats["seq_ids"] = []
+    stats["cities"] = []
 
     # --- acceptance pass: pick scenarios that fit, assign offsets ---
     accepted: List[Dict] = []
@@ -362,6 +366,8 @@ def pack_batch(
         if na == 0 or a_off + na > a_cap or n_off + nn > n_cap:
             stats["skipped_scenarios"] += 1
             continue
+        stats["seq_ids"].append(int(scen.get("seq_id", len(accepted))))
+        stats["cities"].append(str(scen.get("city", "")))
         accepted.append(cache)
         na_list.append(na)
         nn_list.append(nn)

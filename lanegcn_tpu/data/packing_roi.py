@@ -255,6 +255,9 @@ def pack_roi_batch(
     stats["num_rois"] = r_off
     stats["num_roi_nodes"] = m_off
     stats["num_interest_nodes"] = mi_off
+    # Submission identity in packed order (reference data.py:364-434).
+    stats["seq_ids"] = [int(s.get("seq_id", i)) for i, s in enumerate(used)]
+    stats["cities"] = [str(s.get("city", "")) for s in used]
 
     M, R, MI = m_off, r_off, mi_off
     tot_arr = np.asarray([c["tot_nodes"] for c in accepted], np.int64)

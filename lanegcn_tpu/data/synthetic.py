@@ -133,4 +133,7 @@ def make_synthetic_scenario(
         for ln in lanes
     ]
     data["graph"] = build_lane_graph(rot_lanes, num_scales=num_scales)
+    # Submission identity (reference attaches argo_id/city, data.py:364-434).
+    data["seq_id"] = int(seed)
+    data["city"] = "SYN"
     return data

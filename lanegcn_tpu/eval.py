@@ -64,6 +64,37 @@ def evaluate_predictions(
     return out
 
 
+def forecasting_metric_sums(
+    preds: np.ndarray, gts: np.ndarray, miss_threshold: float = 2.0
+) -> Dict[str, float]:
+    """Per-host metric *sums* for cross-host reduction: sum over local
+    sequences of the K=6/K=1 per-sequence minADE/minFDE/miss terms plus
+    'count'. Reduce with sync_metric_sums then normalize with
+    metrics_from_sums (reference reduces metric dicts across ranks with MPI
+    allgather, train.py:245-255)."""
+    out = {"count": float(len(preds))}
+    if len(preds) == 0:
+        for k in (6, 1):
+            out.update({f"minADE_{k}": 0.0, f"minFDE_{k}": 0.0, f"MR_{k}": 0.0})
+        return out
+    preds = np.asarray(preds, np.float64)
+    gts = np.asarray(gts, np.float64)
+    err = np.sqrt(((preds - gts[:, None, :, :]) ** 2).sum(-1))  # [B, K, T]
+    for k in (6, 1):
+        ade = err[:, :k].mean(-1).min(1)
+        fde = err[:, :k, -1].min(1)
+        out[f"minADE_{k}"] = float(ade.sum())
+        out[f"minFDE_{k}"] = float(fde.sum())
+        out[f"MR_{k}"] = float((fde > miss_threshold).sum())
+    return out
+
+
+def metrics_from_sums(sums: Dict[str, float]) -> Dict[str, float]:
+    """Normalize globally-reduced metric sums into the eval report."""
+    n = max(sums.get("count", 0.0), 1e-10)
+    return {k: v / n for k, v in sums.items() if k != "count"}
+
+
 def write_submission(
     path: str,
     preds: np.ndarray,  # [B, K, T, 2] world frame

@@ -22,7 +22,8 @@ class ModelBundle:
     net: Any  # flax module taking a packed batch
     loss_fn: Callable  # (out, batch, loss_cfg) → dict with "loss" + sums
     metrics_fn: Callable  # (out, batch) → metric sums
-    # (out, batch) → (preds [n, K, T, 2], gts [n, T, 2]) numpy, for eval.
+    # (out, batch) → (preds [n, K, T, 2], gts [n, T, 2], probs [n, K]) numpy,
+    # for eval / submission. probs = softmax of per-mode confidences.
     extract_fn: Callable = None
 
 
@@ -47,19 +48,28 @@ def available() -> list:
     return sorted(_REGISTRY)
 
 
+def _softmax(x):
+    import numpy as np
+
+    z = np.exp(x - x.max(axis=-1, keepdims=True))
+    return z / z.sum(axis=-1, keepdims=True)
+
+
 def _extract_lanegcn(out, batch):
     import numpy as np
 
     mask = np.asarray(batch.scen_mask)
     idx = np.asarray(batch.agent_idx)[mask]
-    return np.asarray(out["reg"])[idx], np.asarray(batch.gt_preds)[idx]
+    probs = _softmax(np.asarray(out["cls"])[idx])
+    return np.asarray(out["reg"])[idx], np.asarray(batch.gt_preds)[idx], probs
 
 
 def _extract_lanercnn(out, batch):
     import numpy as np
 
     mask = np.asarray(batch.scen_mask)
-    return np.asarray(out["pred_trajs"])[mask], np.asarray(batch.gt_preds)[mask]
+    probs = _softmax(np.asarray(out["pred_logics"])[mask])
+    return np.asarray(out["pred_trajs"])[mask], np.asarray(batch.gt_preds)[mask], probs
 
 
 @register("lanegcn")

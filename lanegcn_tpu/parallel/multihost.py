@@ -16,15 +16,23 @@ import numpy as np
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Initialize multi-host JAX (no-op on a single process). Pass
-    coordinator_address/num_processes/process_id for manual setups; TPU pods
-    auto-discover."""
-    if jax.process_count() > 1 or kwargs:
-        return  # already initialized
+    """Initialize multi-host JAX. Pass coordinator_address/num_processes/
+    process_id for manual setups; TPU pods auto-discover with no kwargs.
+
+    Idempotent: returns silently if the distributed runtime is already up.
+    An explicit manual setup (kwargs given) that fails raises — a silent
+    no-op there would train single-host with per-host data and wrong
+    gradients. Auto-discovery failure (no cluster env) is the normal
+    single-process case and is swallowed."""
+    if jax.distributed.is_initialized():
+        return
+    kwargs = {k: v for k, v in kwargs.items() if v is not None}
     try:
         jax.distributed.initialize(**kwargs)
     except Exception:
-        pass  # single-process / unsupported platform
+        if kwargs:
+            raise
+        # no kwargs + no detectable cluster: single-process run
 
 
 def process_seed(base_seed: int) -> int:

@@ -148,3 +148,37 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert restored["meta"]["step"] == 7
     np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), np.arange(8.0))
     np.testing.assert_array_equal(np.asarray(restored["params"]["b"]["x"]), np.ones((2, 3)))
+
+
+def test_submission_plumbs_seq_ids_and_probs(tmp_path):
+    """CLI eval writes real scenario seq_ids and softmax(cls) probabilities
+    into the submission file (reference test.py:110-113 via argo_id/city,
+    data.py:364-434) — not arange ids and uniform probs."""
+    import sys
+
+    import numpy as np
+
+    from lanegcn_tpu.cli import main
+
+    sub = str(tmp_path / "sub")
+    main([
+        "eval", "--model", "lanegcn", "--data", "synthetic:4:1:4",
+        "--batch-size", "2", "--submission", sub,
+    ])
+    import os
+
+    if os.path.exists(sub + ".h5"):
+        import h5py
+
+        with h5py.File(sub + ".h5") as f:
+            data = np.asarray(f["argoverse_forecasting"])  # [B*K*T, 5]
+    else:
+        data = np.load(sub + ".npz")["argoverse_forecasting"]
+    k, t = 6, 30
+    ids = data[:, 0].reshape(-1, k * t)[:, 0].astype(int)
+    # synthetic seq_id == generator seed == dataset index
+    assert sorted(ids.tolist()) == [0, 1, 2, 3], ids
+    probs = data[:, 4].reshape(-1, k, t)[:, :, 0]
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-5)
+    # mode confidences are sorted descending (PredNet sorts), so probs too
+    assert np.all(np.diff(probs, axis=1) <= 1e-6)
