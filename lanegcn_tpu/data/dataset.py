@@ -51,24 +51,39 @@ class RoiSyntheticDataset(SyntheticDataset):
 
 class ShardDataset:
     """Preprocessed scenarios stored as pickle shards (dir of .pkl files,
-    each a list of scenario dicts — the preprocess CLI writes these)."""
+    each a list of scenario dicts — the preprocess CLI writes these).
 
-    def __init__(self, root: str):
+    Keeps at most `cache_shards` unpickled shards in memory (LRU); random
+    access outside the cached window costs one unpickle. PackedLoader's
+    windowed shard-aware shuffle (see _epoch_order) keeps accesses inside
+    the window, so a full-epoch shuffled pass unpickles each shard exactly
+    once — the scalable replacement for the reference loading the entire
+    205k-scenario split into RAM (reference data.py:21-25)."""
+
+    def __init__(self, root: str, cache_shards: int = 3):
         self.paths = sorted(
             os.path.join(root, f) for f in os.listdir(root) if f.endswith(".pkl")
         )
+        self.cache_shards = cache_shards
         self._index: List[tuple] = []
         self._cache: Dict[str, list] = {}
+        self.load_count = 0  # unpickle count (shard-thrash diagnostic)
+        self.shard_spans: List[tuple] = []  # (start, end) global idx per shard
         for p in self.paths:
             shard = self._load(p)
+            start = len(self._index)
             self._index += [(p, i) for i in range(len(shard))]
+            self.shard_spans.append((start, len(self._index)))
 
     def _load(self, path: str) -> list:
         if path not in self._cache:
-            if len(self._cache) > 2:  # keep at most 3 shards in memory
+            self.load_count += 1
+            if len(self._cache) >= max(self.cache_shards, 1):
                 self._cache.pop(next(iter(self._cache)))
             with open(path, "rb") as f:
                 self._cache[path] = pickle.load(f)
+        else:  # LRU refresh
+            self._cache[path] = self._cache.pop(path)
         return self._cache[path]
 
     def __len__(self) -> int:
@@ -100,6 +115,7 @@ class PackedLoader:
         packer=None,
         scen_per_pack: Optional[int] = None,
         pack_workers: int = 1,
+        shard_window: Optional[int] = None,
     ):
         """packer: (scenarios, config) → (batch, stats); defaults to the
         LaneGCN pack_batch. For LaneRCNN pass a pack_roi_batch wrapper."""
@@ -116,13 +132,37 @@ class PackedLoader:
         )
         self.scen_per_pack = scen_per_pack or config.pack.max_scenarios
         self.pack_workers = pack_workers
+        self.shard_window = shard_window
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
+        """Epoch scenario order: full Fisher-Yates for in-memory datasets;
+        windowed shard-aware shuffle for ShardDataset-like datasets
+        (shuffle shard order, then shuffle scenarios within each window of
+        W shards) so a shuffled epoch unpickles each shard once instead of
+        thrashing the shard cache on random global access. All processes
+        compute the same order from the shared seed, so the strided
+        process shards below stay disjoint (reference DistributedSampler,
+        train.py:119-121)."""
         n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + epoch)
-            rng.shuffle(order)
+        rng = np.random.default_rng(self.seed + epoch)
+        spans = getattr(self.dataset, "shard_spans", None)
+        if not self.shuffle:
+            order = np.arange(n)
+        elif spans and len(spans) > 1:
+            window = self.shard_window or max(
+                getattr(self.dataset, "cache_shards", 3) - 1, 1
+            )
+            shard_order = rng.permutation(len(spans))
+            parts = []
+            for w in range(0, len(shard_order), window):
+                idcs = np.concatenate(
+                    [np.arange(*spans[s]) for s in shard_order[w : w + window]]
+                )
+                rng.shuffle(idcs)
+                parts.append(idcs)
+            order = np.concatenate(parts)
+        else:
+            order = rng.permutation(n)
         return order[self.process_index :: self.process_count]
 
     def epoch(self, epoch: int = 0) -> Iterator:

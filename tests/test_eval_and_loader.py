@@ -182,3 +182,62 @@ def test_submission_plumbs_seq_ids_and_probs(tmp_path):
     np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-5)
     # mode confidences are sorted descending (PredNet sorts), so probs too
     assert np.all(np.diff(probs, axis=1) <= 1e-6)
+
+
+def test_windowed_shard_shuffle_no_thrash(tmp_path):
+    """Shuffled epochs over a ShardDataset visit every scenario exactly once
+    while unpickling each shard at most once per epoch (windowed shard-aware
+    shuffle — the scalable counterpart of the reference loading the whole
+    split into RAM, data.py:21-25)."""
+    import pickle
+
+    import numpy as np
+
+    from lanegcn_tpu.data.dataset import PackedLoader, ShardDataset
+
+    # 6 shards x 4 tiny scenario stubs; the "scenario" only needs identity
+    # here, so bypass the packer with a passthrough.
+    for s in range(6):
+        shard = [{"seq_id": s * 4 + i} for i in range(4)]
+        with open(tmp_path / f"shard_{s:05d}.pkl", "wb") as f:
+            pickle.dump(shard, f)
+    ds = ShardDataset(str(tmp_path), cache_shards=3)
+    assert ds.shard_spans == [(i * 4, i * 4 + 4) for i in range(6)]
+    base_loads = ds.load_count
+    assert base_loads == 6  # index build
+
+    from lanegcn_tpu.config import Config
+
+    loader = PackedLoader(
+        ds, Config(), shuffle=True, seed=5, scen_per_pack=4,
+        packer=lambda scens, cfg: ([s["seq_id"] for s in scens], {}),
+    )
+    seen = []
+    for batch in loader.epoch(0):
+        seen += batch
+    assert sorted(seen) == list(range(24))
+    # each shard unpickled at most once during the epoch
+    assert ds.load_count - base_loads <= 6, ds.load_count
+    # the order is actually shuffled (not identity) and differs across epochs
+    seen2 = [x for b in loader.epoch(1) for x in b]
+    assert seen != list(range(24)) and seen2 != seen
+    assert sorted(seen2) == list(range(24))
+
+
+def test_windowed_shuffle_process_shards_disjoint(tmp_path):
+    import pickle
+
+    from lanegcn_tpu.config import Config
+    from lanegcn_tpu.data.dataset import PackedLoader, ShardDataset
+
+    for s in range(4):
+        with open(tmp_path / f"shard_{s:05d}.pkl", "wb") as f:
+            pickle.dump([{"seq_id": s * 4 + i} for i in range(4)], f)
+    ds = ShardDataset(str(tmp_path))
+    orders = [
+        PackedLoader(ds, Config(), shuffle=True, seed=9,
+                     process_index=p, process_count=2)._epoch_order(3)
+        for p in (0, 1)
+    ]
+    both = np.concatenate(orders)
+    assert len(set(both.tolist())) == 16
