@@ -30,100 +30,166 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# The environment's sitecustomize pins jax_platforms to "axon,cpu"
+# programmatically, so BENCH_PLATFORM=cpu must override via the config
+# (the JAX_PLATFORMS env var alone is ignored).
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
 # Persistent compile cache: the scanned multi-step program is expensive to
 # compile; repeated bench runs reuse it.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 from lanegcn_tpu.config import Config, PackConfig, TrainConfig, relation_names
-from lanegcn_tpu.data import make_synthetic_scenario, pack_batch
+from lanegcn_tpu.data import pack_batch
+from lanegcn_tpu.data.synthetic import make_urban_scenario
 from lanegcn_tpu.models.lanegcn import LaneGCN
 from lanegcn_tpu.train.loop import make_train_step
 from lanegcn_tpu.train.optimizer import make_optimizer
 
 BASELINE_SCEN_PER_S_PER_CHIP = 235.0 / 4.0  # reference: 4× RTX 5000 aggregate
 
+# Approximate bf16 peak by device kind for the MFU estimate (dense-matmul
+# speed of light; the graph workload is gather/scatter-heavy so its roofline
+# is far below this — the number contextualizes, it doesn't judge).
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+}
+
 
 def bench_pack_config(num_scen: int | None = None) -> PackConfig:
-    # Packs of BENCH_SCEN scenarios at realistic sizes (~310 lane nodes, ~12
-    # actors per scenario; capacities scale per-scenario). With band
-    # splitting every intra-lane pre/suc edge lives in the [N] band masks,
-    # and with table splitting every left/right edge (and the first
-    # cross-lane pre/suc edge per destination) lives in the [N] neighbor
-    # tables — the edge lists hold only duplicate-destination overflow (zero
-    # on these synthetic corridors; capacity kept nonzero so the residual
-    # scatter path stays in the measured program).
+    # Packs of BENCH_SCEN urban scenarios (junction grammar: forks, merges,
+    # turn connectors — see data/synthetic.py) at reference-realistic sizes:
+    # ~735 lane nodes/scenario, ~770 irregular cross-lane + dilated-fan
+    # edges/scenario in the edge lists (the scatter path), ~720/relation
+    # banded intra-lane edges in the band masks, ~765 tabled left/right.
+    # Matches the graph shapes of reference data.py:220-361 far better than
+    # the round-1 straight corridors, where the edge lists were all empty.
     s = num_scen or int(os.environ.get("BENCH_SCEN", "256"))
     return PackConfig(
         max_scenarios=s,
         max_actors=16 * s,
-        max_nodes=320 * s,
-        max_edges_scale0=max(4 * s, 512),
-        max_edges_dilated=max(4 * s, 512),
+        max_nodes=1024 * s,
+        max_edges_scale0=max(16 * s, 512),
+        # Dilated fan at junctions doubles per scale (measured ≈ 6·2^i
+        # edges/scenario); per-scale capacity at ~1.3x headroom — a uniform
+        # capacity would make every scale pay scale 5's size and the
+        # scatter/gather paths process capacity, not valid count.
+        max_edges_dilated=tuple(max(8 * (2 ** i) * s, 512) for i in range(1, 6)),
         max_edges_lr=max(4 * s, 512),
-        max_a2m_edges=128 * s,
-        max_m2a_edges=128 * s,
-        max_a2a_edges=128 * s,
-        # ~305 tabled left/right edges per scenario measured; 384/s leaves
-        # 25% headroom (the backward's sorted transpose scatter processes
-        # capacity, not valid count — the 2×max_nodes auto default wastes 2x)
-        max_table_edges=384 * s,
+        max_a2m_edges=96 * s,
+        max_m2a_edges=96 * s,
+        max_a2a_edges=64 * s,
+        # ~765 tabled left/right edges per scenario measured; headroom to
+        # 1024 (the backward's sorted transpose scatter processes capacity,
+        # not valid count — the 2×max_nodes auto default wastes 2x).
+        max_table_edges=1024 * s,
     )
 
 
 def make_batches(config: Config, num_batches: int, scen_per_batch: int):
     batches = []
     all_stats = []
+    all_scens = []
     seed = 0
     for b in range(num_batches):
+        t0 = time.time()
         scens = [
-            make_synthetic_scenario(seed=seed + i, num_corridors=3, num_actors=12)
+            make_urban_scenario(seed=seed + i, num_corridors=7, num_actors=16)
             for i in range(scen_per_batch)
         ]
+        t1 = time.time()
         seed += scen_per_batch
         batch, stats = pack_batch(scens, config.pack, config.model)
+        t2 = time.time()
+        if b == 0:
+            stats = dict(stats, **occupancy(batch))  # host numpy, pre-transfer
+            stats["edges_total"] = count_edges(batch)
         batches.append(jax.tree.map(jnp.asarray, batch))
+        jax.block_until_ready(batches[-1])
+        print(
+            f"# pack {b}: gen {t1 - t0:.1f}s, pack {t2 - t1:.1f}s, "
+            f"transfer {time.time() - t2:.1f}s",
+            file=sys.stderr,
+        )
         all_stats.append(stats)
-    return batches, all_stats
+        all_scens += scens
+    return batches, all_stats, all_scens
+
+
+def occupancy(batch) -> dict:
+    """Edge occupancy by path: banded masks, neighbor tables, and the
+    irregular scatter edge lists (the round-1 bench had zero of the last).
+    Host numpy — run on the pre-transfer pack."""
+    n_cap = batch.graph.ctrs.shape[0]
+    overflow = sum(int(np.sum(e.mask)) for e in batch.graph.edges.values())
+    banded = sum(int(np.sum(m)) for m in (batch.graph.bands or {}).values())
+    tabled = sum(int(np.sum(t < n_cap)) for t in (batch.graph.tables or {}).values())
+    fusion = sum(
+        int(np.sum(e.mask)) for e in (batch.fusion.a2m, batch.fusion.m2a, batch.fusion.a2a)
+    )
+    return {"overflow": overflow, "banded": banded, "tabled": tabled, "fusion": fusion}
 
 
 def count_edges(batch) -> int:
     """Total valid message-passing edges per step (LaneConv + fusion),
     including banded intra-lane edges carried by the band masks and
-    left/right edges carried by the neighbor tables."""
+    left/right edges carried by the neighbor tables. Host numpy — run on
+    the pre-transfer pack."""
     n = 0
     n_cap = batch.graph.ctrs.shape[0]
     for e in batch.graph.edges.values():
-        n += int(jnp.sum(e.mask))
+        n += int(np.sum(e.mask))
     if batch.graph.bands is not None:
         for m in batch.graph.bands.values():
-            n += int(jnp.sum(m))
+            n += int(np.sum(m))
     if batch.graph.tables is not None:
         for t in batch.graph.tables.values():
-            n += int(jnp.sum(t < n_cap))
+            n += int(np.sum(t < n_cap))
     for e in (batch.fusion.a2m, batch.fusion.m2a, batch.fusion.a2a):
-        n += int(jnp.sum(e.mask))
+        n += int(np.sum(e.mask))
     return n
 
 
 def main():
     config = Config(pack=bench_pack_config())
+    # BENCH_EDGE=off A/Bs the fused Pallas edge-MLP against the XLA path.
+    edge_mode = os.environ.get("BENCH_EDGE")
+    if edge_mode:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, pallas_edge=edge_mode)
+        )
     num_batches = 2
     scen_per_batch = config.pack.max_scenarios
 
     t0 = time.time()
-    batches, stats = make_batches(config, num_batches, scen_per_batch)
+    batches, stats, scens = make_batches(config, num_batches, scen_per_batch)
     drops = {
         k: sum(s.get(k, 0) for s in stats)
         for k in stats[0]
-        if k.startswith("dropped") and sum(s.get(k, 0) for s in stats)
+        if k.startswith(("dropped", "skipped")) and sum(s.get(k, 0) for s in stats)
     }
     packed = sum(s["packed_scenarios"] for s in stats)
+    occ = stats[0]  # occupancy fields merged into pack-0 stats pre-transfer
     print(
-        f"# packed {packed} scenarios into {num_batches} packs "
+        f"# packed {packed} urban scenarios into {num_batches} packs "
         f"({time.time() - t0:.1f}s host); drops={drops}",
         file=sys.stderr,
     )
+    print(
+        f"# edge occupancy/pack: {occ['overflow']} overflow (irregular "
+        f"scatter), {occ['banded']} banded, {occ['tabled']} tabled, "
+        f"{occ['fusion']} fusion",
+        file=sys.stderr,
+    )
+    assert occ["overflow"] > 0, "bench graphs must exercise the scatter path"
 
     # bf16 compute (params/normalization fp32): the production TPU config —
     # 3.4x over fp32 at this size; convergence parity covered by
@@ -157,13 +223,34 @@ def main():
     assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
 
     scen_per_s = scen_per_batch * iters / dt
-    edges = count_edges(batches[0])
+    edges = stats[0]["edges_total"]
     edges_per_s = edges * iters / dt
     print(
         f"# {iters} steps in {dt:.2f}s → {scen_per_s:.1f} scen/s, "
         f"{edges_per_s/1e6:.1f}M msg-edges/s (bf16 train fwd+bwd+adam+metrics)",
         file=sys.stderr,
     )
+
+    # MFU estimate from the compiled program's own FLOP count (XLA cost
+    # analysis) against the chip's dense bf16 peak.
+    mfu_pct = None
+    try:
+        lowered = train_step.lower(params, opt_state, batches[0], 0.0)
+        flops = lowered.compile().cost_analysis()["flops"]
+        kind = jax.devices()[0].device_kind
+        peak = next(
+            (v for k, v in PEAK_BF16_FLOPS.items() if k.lower() in kind.lower()),
+            197e12,
+        )
+        mfu_pct = 100.0 * flops * (iters / dt) / peak
+        print(
+            f"# cost analysis: {flops/1e9:.1f} GFLOP/step on {kind} → "
+            f"~{mfu_pct:.1f}% MFU (dense-peak roofline; the workload is "
+            f"gather/scatter-bound, see docs/PERFORMANCE.md)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # cost analysis is backend-dependent
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
     # Optional: inference throughput (reference val pass: 39,472 scen in
     # ~59-70 s on 4 GPUs ≈ 600 scen/s aggregate — misc/train_log.txt).
     # Off by default: the eval program compiles slowly on this backend and
@@ -181,26 +268,15 @@ def main():
         infer_per_s = scen_per_batch * iters / (time.time() - t0)
         print(f"# inference: {infer_per_s:.0f} scen/s (bf16 fwd+loss+metrics)", file=sys.stderr)
 
-    # Optional: sustained end-to-end throughput — PackedLoader (background
-    # host packing over pack-cached scenarios, as when reading preprocessed
+    # Sustained end-to-end throughput — PackedLoader (background host
+    # packing over pack-cached scenarios, as when reading preprocessed
     # shards) feeding the jitted train step. Bounded by min(host, device);
-    # host packing scales with cores (this box has 2). Measured components
-    # per 1024-scenario pack: pack 58 ms, h2d transfer 22 ms (median; the
-    # axon tunnel spikes to 0.5-1 s at ~25% rate — a relay artifact, PCIe
-    # DMA on a real TPU host moves 38 MB in ~5 ms), step dispatch 3 ms →
-    # 8-15k scen/s sustained here, transfer-bound, not pipeline-bound.
-    if os.environ.get("BENCH_E2E") == "1":
+    # host packing scales with cores (this box has 2). Reuses the bench
+    # scenarios (pack caches already baked by the first pack). Disable with
+    # BENCH_E2E=0.
+    e2e_per_s = None
+    if os.environ.get("BENCH_E2E", "1") != "0":
         from lanegcn_tpu.data.dataset import PackedLoader
-
-        n_scen = 2 * scen_per_batch
-        scens = [
-            make_synthetic_scenario(seed=10_000 + i, num_corridors=3, num_actors=12)
-            for i in range(n_scen)
-        ]
-        from lanegcn_tpu.data.packing import precompute_pack_cache
-
-        for s in scens:
-            precompute_pack_cache(s, config.model)  # shards carry these
 
         class _ListDataset:
             def __init__(self, items):
@@ -218,8 +294,8 @@ def main():
         loader = PackedLoader(
             _ListDataset(scens), config, shuffle=True, pack_workers=1
         )
-        # Warm epoch (fills page cache, compiles nothing new), then measure.
-        for ep in range(3):
+        # Warm epoch (fills caches, compiles nothing new), then measure.
+        for ep in range(2):
             t0 = time.time()
             n = 0
             for b in loader.epoch(ep):
@@ -228,22 +304,26 @@ def main():
                 n += scen_per_batch
             _ = float(m["loss"])  # drain
             dt = time.time() - t0
+            e2e_per_s = n / dt
             print(
-                f"# e2e epoch {ep}: {n} scen in {dt:.2f}s → {n/dt:.0f} scen/s "
-                f"(loader+pack+transfer+train, 1 pack worker)",
+                f"# e2e epoch {ep}: {n} scen in {dt:.2f}s → {e2e_per_s:.0f} "
+                f"scen/s (loader+pack+transfer+train, 1 pack worker)",
                 file=sys.stderr,
             )
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_scenarios_per_sec_per_chip",
-                "value": round(scen_per_s, 2),
-                "unit": "scenarios/s",
-                "vs_baseline": round(scen_per_s / BASELINE_SCEN_PER_S_PER_CHIP, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "train_scenarios_per_sec_per_chip",
+        "value": round(scen_per_s, 2),
+        "unit": "scenarios/s",
+        "vs_baseline": round(scen_per_s / BASELINE_SCEN_PER_S_PER_CHIP, 3),
+        "overflow_edges_per_pack": occ["overflow"],
+        "msg_edges_per_sec": round(edges_per_s, 0),
+    }
+    if e2e_per_s is not None:
+        result["e2e_scen_per_sec"] = round(e2e_per_s, 1)
+    if mfu_pct is not None:
+        result["mfu_pct_est"] = round(mfu_pct, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -22,20 +22,21 @@ import numpy as np
 
 
 def _parse_data(spec: str, model: str = "lanegcn"):
-    """'synthetic:N[:corridors:actors]' or a shard directory path."""
+    """'synthetic:N[:corridors:actors]' / 'urban:N[:corridors:actors]'
+    (junction-rich graphs) or a shard directory path."""
     from lanegcn_tpu.data.dataset import (
         RoiSyntheticDataset,
         ShardDataset,
         SyntheticDataset,
     )
 
-    if spec.startswith("synthetic"):
+    if spec.startswith(("synthetic", "urban")):
         parts = spec.split(":")
         n = int(parts[1]) if len(parts) > 1 else 256
         cor = int(parts[2]) if len(parts) > 2 else 3
         act = int(parts[3]) if len(parts) > 3 else 12
         cls = RoiSyntheticDataset if model == "lanercnn" else SyntheticDataset
-        return cls(n, num_corridors=cor, num_actors=act)
+        return cls(n, num_corridors=cor, num_actors=act, urban=spec.startswith("urban"))
     return ShardDataset(spec)
 
 

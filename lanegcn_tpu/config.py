@@ -9,7 +9,7 @@ args) and self-documenting.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,6 +34,11 @@ class ModelConfig:
     # (CPU-testable end-to-end). The kernel is single-device — keep "off"
     # under explicit graph-axis sharding (GSPMD cannot partition it).
     pallas_bands: str = "auto"
+    # Fusion-stage edge MLP backend (ops/pallas_edge_mlp.py): same mode
+    # semantics. Fuses the Att/LanePooling per-edge chain (dist MLP + 3-way
+    # add + GN + relu + ctx_out) into one kernel so the [E, C]
+    # intermediates never round-trip HBM.
+    pallas_edge: str = "auto"
 
     @property
     def num_relations(self) -> int:
@@ -66,7 +71,11 @@ class PackConfig:
     max_actors: int = 512       # total actors across the pack
     max_nodes: int = 8192       # total lane nodes across the pack
     max_edges_scale0: int = 8192   # per-relation capacity for pre0/suc0
-    max_edges_dilated: int = 8192  # per-relation capacity for pre_i/suc_i, i>=1
+    # Per-relation capacity for pre_i/suc_i, i>=1: one int for all dilated
+    # scales, or a tuple of length num_scales-1 (scale i uses entry i-1 —
+    # dilated edge counts grow ~2^i at junction fans, so per-scale sizing
+    # avoids paying the largest scale's capacity on every scale).
+    max_edges_dilated: Any = 8192
     max_edges_lr: int = 4096       # capacity for left/right
     max_a2m_edges: int = 16384
     max_m2a_edges: int = 16384
@@ -87,7 +96,12 @@ class PackConfig:
             return self.max_edges_lr
         if relation.startswith(("pre", "suc")):
             scale = int(relation[3:])
-            return self.max_edges_scale0 if scale == 0 else self.max_edges_dilated
+            if scale == 0:
+                return self.max_edges_scale0
+            med = self.max_edges_dilated
+            if isinstance(med, (tuple, list)):
+                return int(med[scale - 1])
+            return med
         raise ValueError(f"unknown relation {relation!r}")
 
 

@@ -24,19 +24,25 @@ from lanegcn_tpu.data.synthetic import make_synthetic_scenario
 
 
 class SyntheticDataset:
-    """Deterministic synthetic scenarios by index (tests, benches, demos)."""
+    """Deterministic synthetic scenarios by index (tests, benches, demos).
+    urban=True produces junction-rich (fork/merge/connector) graphs."""
 
-    def __init__(self, size: int, num_corridors: int = 3, num_actors: int = 12):
+    def __init__(
+        self, size: int, num_corridors: int = 3, num_actors: int = 12,
+        urban: bool = False,
+    ):
         self.size = size
         self.num_corridors = num_corridors
         self.num_actors = num_actors
+        self.urban = urban
 
     def __len__(self) -> int:
         return self.size
 
     def __getitem__(self, idx: int) -> Dict:
         return make_synthetic_scenario(
-            seed=idx, num_corridors=self.num_corridors, num_actors=self.num_actors
+            seed=idx, num_corridors=self.num_corridors,
+            num_actors=self.num_actors, urban=self.urban,
         )
 
 

@@ -33,9 +33,17 @@ import jax.numpy as jnp
 
 from lanegcn_tpu.config import ModelConfig
 from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch
-from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear, SplitLinear
+from lanegcn_tpu.models.layers import (
+    Dense,
+    DenseParams,
+    GroupNorm,
+    Linear,
+    LinearParams,
+    SplitLinear,
+)
 from lanegcn_tpu.models.map_net import LaneConvStack
 from lanegcn_tpu.ops import masked_gather, scatter_add
+from lanegcn_tpu.ops.pallas_edge_mlp import fused_edge_mlp
 from lanegcn_tpu.ops.table_gather import sorted_transpose_gather
 
 
@@ -45,6 +53,13 @@ def _edge_gather(x, idx, mask, inv_perm, inv_dst):
     if inv_perm is not None:
         return sorted_transpose_gather(x, idx, mask, inv_perm, inv_dst)
     return masked_gather(x, idx, mask)
+
+
+def use_pallas_edge(mode: str) -> bool:
+    """Same mode semantics as LaneConvStack's pallas_bands."""
+    if mode == "auto":
+        return jax.default_backend() in ("tpu", "axon")
+    return mode in ("on", "interpret")
 
 
 class Att(nn.Module):
@@ -59,6 +74,7 @@ class Att(nn.Module):
     n_agt: int
     n_ctx: int
     dtype: Any = jnp.float32
+    pallas_edge: str = "auto"
 
     @nn.compact
     def __call__(
@@ -78,8 +94,6 @@ class Att(nn.Module):
         d = masked_gather(agt_ctrs, edges.u, edges.mask) - masked_gather(
             ctx_ctrs, edges.v, edges.mask
         )
-        dist = Dense(self.n_ctx, dtype=self.dtype, name="dist_dense")(d)
-        dist = Linear(self.n_ctx, dtype=self.dtype, name="dist_out")(nn.relu(dist))
 
         # Dense per-row query, projected by its ctx_hidden kernel slice
         # BEFORE the edge gather. u is the sort key, so its transpose order
@@ -98,17 +112,42 @@ class Att(nn.Module):
             rows, edges.v, edges.mask, edges.inv_perm, edges.inv_dst
         )
 
-        # ctx_hidden = Linear over concat([dist, query, ctx]); the query and
-        # ctx segments are per-row functions, so their kernel slices apply
-        # densely at row count (A and C rows) instead of edge count E —
-        # exact factorization, same param tree (reference lanegcn.py:693-700).
-        edge_out = SplitLinear(
-            self.n_agt,
-            widths=(self.n_ctx, self.n_ctx, self.n_ctx),
-            dtype=self.dtype,
-            name="ctx_hidden",
-        )([(dist, None), (query_all, gather_q), (ctx, gather_c)])
-        edge_out = Dense(self.n_agt, use_bias=False, dtype=self.dtype, name="ctx_out")(edge_out)
+        fused = use_pallas_edge(self.pallas_edge) and self.n_agt == self.n_ctx
+        if fused:
+            # Same param tree as the unfused branch (checkpoint-compatible);
+            # the per-edge chain runs in ops/pallas_edge_mlp.fused_edge_mlp
+            # so the [E, C] intermediates stay in VMEM.
+            c = self.n_ctx
+            kd, bd = DenseParams(2, c, name="dist_dense")()
+            kdo, gdow, gdob = LinearParams(c, c, name="dist_out")()
+            k_ch, gchw, gchb = LinearParams(3 * c, self.n_agt, name="ctx_hidden")()
+            kout, _ = DenseParams(self.n_agt, self.n_agt, use_bias=False, name="ctx_out")()
+            qg = gather_q(
+                jnp.dot(query_all.astype(self.dtype), k_ch[c : 2 * c].astype(self.dtype))
+            )
+            cg = gather_c(
+                jnp.dot(ctx.astype(self.dtype), k_ch[2 * c :].astype(self.dtype))
+            )
+            edge_out = fused_edge_mlp(
+                d, qg, cg, kd, bd, kdo, gdow, gdob, k_ch[:c], gchw, gchb, kout,
+                True, True, 1e-5, self.pallas_edge == "interpret",
+            )
+        else:
+            dist = Dense(self.n_ctx, dtype=self.dtype, name="dist_dense")(d)
+            dist = Linear(self.n_ctx, dtype=self.dtype, name="dist_out")(nn.relu(dist))
+
+            # ctx_hidden = Linear over concat([dist, query, ctx]); the query
+            # and ctx segments are per-row functions, so their kernel slices
+            # apply densely at row count (A and C rows) instead of edge count
+            # E — exact factorization, same param tree (reference
+            # lanegcn.py:693-700).
+            edge_out = SplitLinear(
+                self.n_agt,
+                widths=(self.n_ctx, self.n_ctx, self.n_ctx),
+                dtype=self.dtype,
+                name="ctx_hidden",
+            )([(dist, None), (query_all, gather_q), (ctx, gather_c)])
+            edge_out = Dense(self.n_agt, use_bias=False, dtype=self.dtype, name="ctx_out")(edge_out)
 
         agts = Dense(self.n_agt, use_bias=False, dtype=self.dtype, name="agt")(agts)
         agts = scatter_add(
@@ -142,7 +181,8 @@ class A2M(nn.Module):
             jnp.concatenate([nodes, meta.astype(nodes.dtype)], axis=-1)
         )
         for i in range(self.cfg.num_att_layers):
-            nodes = Att(self.cfg.n_map, self.cfg.n_actor, dtype=self.dtype, name=f"att{i}")(
+            nodes = Att(self.cfg.n_map, self.cfg.n_actor, dtype=self.dtype,
+                        pallas_edge=self.cfg.pallas_edge, name=f"att{i}")(
                 nodes, graph.ctrs, actors, actor_ctrs, a2m_edges
             )
         return nodes
@@ -178,7 +218,8 @@ class M2A(nn.Module):
         m2a_edges: EdgeSet,
     ) -> jax.Array:
         for i in range(self.cfg.num_att_layers):
-            actors = Att(self.cfg.n_actor, self.cfg.n_map, dtype=self.dtype, name=f"att{i}")(
+            actors = Att(self.cfg.n_actor, self.cfg.n_map, dtype=self.dtype,
+                         pallas_edge=self.cfg.pallas_edge, name=f"att{i}")(
                 actors, actor_ctrs, nodes, node_ctrs, m2a_edges
             )
         return actors
@@ -193,7 +234,8 @@ class A2A(nn.Module):
     @nn.compact
     def __call__(self, actors: jax.Array, actor_ctrs: jax.Array, a2a_edges: EdgeSet) -> jax.Array:
         for i in range(self.cfg.num_att_layers):
-            actors = Att(self.cfg.n_actor, self.cfg.n_actor, dtype=self.dtype, name=f"att{i}")(
+            actors = Att(self.cfg.n_actor, self.cfg.n_actor, dtype=self.dtype,
+                         pallas_edge=self.cfg.pallas_edge, name=f"att{i}")(
                 actors, actor_ctrs, actors, actor_ctrs, a2a_edges
             )
         return actors

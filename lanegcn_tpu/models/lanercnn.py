@@ -26,10 +26,18 @@ import jax.numpy as jnp
 
 from lanegcn_tpu.config import LossConfig, ModelConfig
 from lanegcn_tpu.graph import EdgeSet, RoiPackedBatch
-from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear, SplitLinear
+from lanegcn_tpu.models.layers import (
+    Dense,
+    DenseParams,
+    GroupNorm,
+    Linear,
+    LinearParams,
+    SplitLinear,
+)
 from lanegcn_tpu.models.lanegcn import smooth_l1
 from lanegcn_tpu.models.map_net import LaneConvStack
 from lanegcn_tpu.ops import masked_gather, scatter_add
+from lanegcn_tpu.ops.pallas_edge_mlp import fused_edge_mlp
 
 
 class LaneInput(nn.Module):
@@ -77,6 +85,7 @@ class LanePooling(nn.Module):
 
     n: int = 128
     dtype: Any = jnp.float32
+    pallas_edge: str = "auto"
 
     @nn.compact
     def __call__(
@@ -91,10 +100,9 @@ class LanePooling(nn.Module):
         d = masked_gather(context_pose, edges.v, edges.mask) - masked_gather(
             target_pose, edges.u, edges.mask
         )
-        dist = nn.relu(Dense(self.n, dtype=self.dtype, name="relpose")(d))
         # Feature gather: with destination-sorted edges (the pool-edge
         # layout) its backward is one permute + one sorted scatter.
-        from lanegcn_tpu.models.fusion import _edge_gather
+        from lanegcn_tpu.models.fusion import _edge_gather, use_pallas_edge
 
         # ctx_hidden = Linear over concat([ctx_gathered, dist]); the context
         # segment is per-source-row, so its kernel slice applies densely at
@@ -102,10 +110,31 @@ class LanePooling(nn.Module):
         gather_c = lambda rows: _edge_gather(
             rows, edges.v, edges.mask, edges.inv_perm, edges.inv_dst
         )
-        ctx = SplitLinear(
-            self.n, widths=(self.n, self.n), dtype=self.dtype, name="ctx_hidden"
-        )([(context_feat, gather_c), (dist, None)])
-        ctx = Dense(self.n, use_bias=False, dtype=self.dtype, name="ctx_out")(ctx)
+        if use_pallas_edge(self.pallas_edge):
+            # Fused per-edge chain (ops/pallas_edge_mlp): relpose Dense +
+            # relu + K_dist add + GN + relu + ctx_out, without the dist_out
+            # stage the Att chain has. Same param tree as the unfused path.
+            kd, bd = DenseParams(4, self.n, name="relpose")()
+            k_ch, gchw, gchb = LinearParams(2 * self.n, self.n, name="ctx_hidden")()
+            kout, _ = DenseParams(self.n, self.n, use_bias=False, name="ctx_out")()
+            cg = gather_c(
+                jnp.dot(context_feat.astype(self.dtype), k_ch[: self.n].astype(self.dtype))
+            )
+            # dist2-stage slots are inert under has_dist2=False; fresh
+            # constants keep the VJP's gradient shapes trivially consistent.
+            kdo = jnp.zeros((self.n, self.n), jnp.float32)
+            gdo1 = jnp.ones((self.n,), jnp.float32)
+            gdo0 = jnp.zeros((self.n,), jnp.float32)
+            ctx = fused_edge_mlp(
+                d, None, cg, kd, bd, kdo, gdo1, gdo0, k_ch[self.n :], gchw, gchb,
+                kout, False, False, 1e-5, self.pallas_edge == "interpret",
+            )
+        else:
+            dist = nn.relu(Dense(self.n, dtype=self.dtype, name="relpose")(d))
+            ctx = SplitLinear(
+                self.n, widths=(self.n, self.n), dtype=self.dtype, name="ctx_hidden"
+            )([(context_feat, gather_c), (dist, None)])
+            ctx = Dense(self.n, use_bias=False, dtype=self.dtype, name="ctx_out")(ctx)
 
         identity = target_feat
         tgt = Dense(self.n, use_bias=False, dtype=self.dtype, name="input")(target_feat)
@@ -140,13 +169,15 @@ class Interactor(nn.Module):
         roi_pose = batch.node_feats[:, :4]
         graph_pose = jnp.concatenate([g.ctrs, g.feats], axis=-1)
 
-        graph_feat = Pool(n_map, dtype=self.dtype, name="roi2graph")(
+        graph_feat = Pool(n_map, dtype=self.dtype,
+                          pallas_edge=self.cfg.pallas_edge, name="roi2graph")(
             roi_feat, roi_pose, graph_input, graph_pose, batch.r2g
         )
         graph_feat = LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="global_graph"
         )(graph_feat, g.edges, g.bands, g.tables, g.table_inv)
-        roi_feat = Pool(n_map, dtype=self.dtype, name="graph2roi")(
+        roi_feat = Pool(n_map, dtype=self.dtype,
+                        pallas_edge=self.cfg.pallas_edge, name="graph2roi")(
             graph_feat, graph_pose, roi_feat, roi_pose, batch.g2r
         )
         return roi_feat
@@ -300,7 +331,8 @@ class Decode(nn.Module):
         ctx_pose = jnp.concatenate([traj_pts, traj_dirs], axis=-1)
         tgt_pose = jnp.concatenate([anc_ctrs, anc_dirs], axis=-1)
         PoolD = nn.remat(LanePooling) if self.remat else LanePooling
-        int_feats = PoolD(self.cfg.n_actor, dtype=self.dtype, name="lane_pool")(
+        int_feats = PoolD(self.cfg.n_actor, dtype=self.dtype,
+                          pallas_edge=self.cfg.pallas_edge, name="lane_pool")(
             agt_feat, ctx_pose, int_feats, tgt_pose, batch.a2r
         )
 

@@ -99,6 +99,51 @@ class _BareKernel(nn.Module):
         return self.param("kernel", torch_uniform_init(self.n_in), (self.n_in, self.n_out))
 
 
+class _BareGN(nn.Module):
+    """Holds GroupNorm affine params (same names/init as GroupNorm)."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        weight = self.param("weight", nn.initializers.ones, (self.c,))
+        bias = self.param("bias", nn.initializers.zeros, (self.c,))
+        return weight, bias
+
+
+class DenseParams(nn.Module):
+    """Raw params of a `Dense` (identical names/shapes/inits) for fused
+    kernels that apply the matmul inline. Checkpoint-compatible with the
+    unfused path."""
+
+    n_in: int
+    n_out: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_uniform_init(self.n_in), (self.n_in, self.n_out))
+        bias = (
+            self.param("bias", torch_uniform_init(self.n_in), (self.n_out,))
+            if self.use_bias else None
+        )
+        return kernel, bias
+
+
+class LinearParams(nn.Module):
+    """Raw params of a `Linear`/`SplitLinear` (same layout: linear/kernel +
+    norm/{weight,bias}) for fused kernels. Checkpoint-compatible."""
+
+    n_in: int
+    n_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = _BareKernel(self.n_in, self.n_out, name="linear")()
+        w, b = _BareGN(self.n_out, name="norm")()
+        return k, w, b
+
+
 class SplitLinear(nn.Module):
     """`Linear` over a virtual concatenation, evaluated as a sum of
     per-segment matmuls so the [E, sum(widths)] concat never materializes.

@@ -212,3 +212,132 @@ def test_lane_conv_stack_pallas_grad_parity():
     np.testing.assert_allclose(
         np.asarray(fp) / scale, np.asarray(fx) / scale, rtol=1e-3, atol=1e-4
     )
+
+
+def test_att_pallas_edge_parity():
+    """Fused edge-MLP kernel (ops/pallas_edge_mlp) must match the unfused
+    Att forward bit-for-bit up to fp tolerance, with the SAME param tree
+    (checkpoint compatibility between backends)."""
+    import dataclasses
+
+    from lanegcn_tpu.config import Config, PackConfig
+    from lanegcn_tpu.data import make_synthetic_scenario, pack_batch
+    from lanegcn_tpu.models.fusion import Att
+
+    pc = PackConfig(
+        max_scenarios=2, max_actors=32, max_nodes=512,
+        max_edges_scale0=768, max_edges_dilated=1024, max_edges_lr=256,
+        max_a2m_edges=1024, max_m2a_edges=1024, max_a2a_edges=512,
+    )
+    cfg = Config(pack=pc)
+    scens = [make_synthetic_scenario(seed=70 + i, num_corridors=2, num_actors=4) for i in range(2)]
+    batch, _ = pack_batch(scens, pc, cfg.model)
+    batch = jax.tree.map(jnp.asarray, batch)
+    rng = np.random.default_rng(5)
+    nodes = jnp.asarray(rng.normal(size=(pc.max_nodes, 128)).astype(np.float32))
+    actors = jnp.asarray(rng.normal(size=(pc.max_actors, 128)).astype(np.float32))
+    args = (nodes, batch.graph.ctrs, actors, batch.actors.ctrs, batch.fusion.a2m)
+
+    att_x = Att(128, 128, pallas_edge="off")
+    params = att_x.init(jax.random.PRNGKey(0), *args)["params"]
+    att_p = Att(128, 128, pallas_edge="interpret")
+    params_p = att_p.init(jax.random.PRNGKey(0), *args)["params"]
+
+    # identical param trees (names, shapes, and init values)
+    fx = jax.tree.leaves(params)
+    fp = jax.tree.leaves(params_p)
+    assert jax.tree.structure(params) == jax.tree.structure(params_p)
+    for a, b in zip(fx, fp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    expect = att_x.apply({"params": params}, *args)
+    got = att_p.apply({"params": params}, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=2e-4, atol=2e-4)
+
+
+def test_att_pallas_edge_grad_parity():
+    """Hand-written VJP of the fused edge MLP vs unfused autodiff."""
+    from jax.flatten_util import ravel_pytree
+
+    from lanegcn_tpu.config import Config, PackConfig
+    from lanegcn_tpu.data import make_synthetic_scenario, pack_batch
+    from lanegcn_tpu.models.fusion import Att
+
+    pc = PackConfig(
+        max_scenarios=2, max_actors=32, max_nodes=512,
+        max_edges_scale0=768, max_edges_dilated=1024, max_edges_lr=256,
+        max_a2m_edges=1024, max_m2a_edges=1024, max_a2a_edges=512,
+    )
+    cfg = Config(pack=pc)
+    scens = [make_synthetic_scenario(seed=75 + i, num_corridors=2, num_actors=4) for i in range(2)]
+    batch, _ = pack_batch(scens, pc, cfg.model)
+    batch = jax.tree.map(jnp.asarray, batch)
+    rng = np.random.default_rng(6)
+    nodes = jnp.asarray(rng.normal(size=(pc.max_nodes, 128)).astype(np.float32))
+    actors = jnp.asarray(rng.normal(size=(pc.max_actors, 128)).astype(np.float32))
+    args = (batch.graph.ctrs, actors, batch.actors.ctrs, batch.fusion.a2m)
+
+    att_x = Att(128, 128, pallas_edge="off")
+    att_p = Att(128, 128, pallas_edge="interpret")
+    params = att_x.init(jax.random.PRNGKey(0), nodes, *args)["params"]
+
+    def loss(att, p, f):
+        out = att.apply({"params": p}, f, *args)
+        return jnp.sum(out ** 2) / out.size
+
+    gx_p, gx_f = jax.grad(lambda p, f: loss(att_x, p, f), argnums=(0, 1))(params, nodes)
+    gp_p, gp_f = jax.grad(lambda p, f: loss(att_p, p, f), argnums=(0, 1))(params, nodes)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gx_f), rtol=1e-3, atol=1e-5)
+    fx, _ = ravel_pytree(gx_p)
+    fp, _ = ravel_pytree(gp_p)
+    scale = float(jnp.max(jnp.abs(fx))) or 1.0
+    np.testing.assert_allclose(
+        np.asarray(fp) / scale, np.asarray(fx) / scale, rtol=1e-3, atol=1e-4
+    )
+
+
+def test_lane_pooling_pallas_edge_parity():
+    """Fused LanePooling edge chain (has_dist2=False, has_query=False) vs
+    the unfused path: same outputs and gradients."""
+    from jax.flatten_util import ravel_pytree
+
+    from lanegcn_tpu.graph import EdgeSet
+    from lanegcn_tpu.models.lanercnn import LanePooling
+
+    rng = np.random.default_rng(9)
+    nc, nt, e_cap, n = 96, 64, 256, 128
+    ctx_feat = jnp.asarray(rng.normal(size=(nc, n)).astype(np.float32))
+    ctx_pose = jnp.asarray(rng.normal(size=(nc, 4)).astype(np.float32))
+    tgt_feat = jnp.asarray(rng.normal(size=(nt, n)).astype(np.float32))
+    tgt_pose = jnp.asarray(rng.normal(size=(nt, 4)).astype(np.float32))
+    ne = 180
+    u = np.sort(rng.integers(0, nt, ne)).astype(np.int32)
+    v = rng.integers(0, nc, ne).astype(np.int32)
+    mask = np.zeros(e_cap, bool); mask[:ne] = True
+    uu = np.zeros(e_cap, np.int32); uu[:ne] = u
+    vv = np.zeros(e_cap, np.int32); vv[:ne] = v
+    edges = EdgeSet(u=jnp.asarray(uu), v=jnp.asarray(vv), mask=jnp.asarray(mask))
+    args = (ctx_feat, ctx_pose, tgt_feat, tgt_pose, edges)
+
+    pool_x = LanePooling(n, pallas_edge="off")
+    pool_p = LanePooling(n, pallas_edge="interpret")
+    params = pool_x.init(jax.random.PRNGKey(1), *args)["params"]
+    params_p = pool_p.init(jax.random.PRNGKey(1), *args)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(params_p)
+
+    expect = pool_x.apply({"params": params}, *args)
+    got = pool_p.apply({"params": params}, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=2e-4, atol=2e-4)
+
+    def loss(pool, p):
+        out = pool.apply({"params": p}, *args)
+        return jnp.sum(out ** 2) / out.size
+
+    gx = jax.grad(lambda p: loss(pool_x, p))(params)
+    gp = jax.grad(lambda p: loss(pool_p, p))(params)
+    fx, _ = ravel_pytree(gx)
+    fp, _ = ravel_pytree(gp)
+    scale = float(jnp.max(jnp.abs(fx))) or 1.0
+    np.testing.assert_allclose(
+        np.asarray(fp) / scale, np.asarray(fx) / scale, rtol=1e-3, atol=1e-4
+    )
