@@ -446,7 +446,19 @@ def cmd_eval(args):
         sample = jax.tree.map(jnp.asarray, b)
         break
     params = bundle.net.init(jax.random.PRNGKey(0), sample)["params"]
-    if args.weight:
+    if args.torch_weight:
+        # Reference checkpoint (e.g. the published 36.000.ckpt,
+        # reference README.MD:88): map the torch state_dict onto our
+        # param tree (utils/torch_import.py name/layout table).
+        from lanegcn_tpu.utils.torch_import import load_torch_checkpoint
+
+        if args.model != "lanegcn":
+            raise SystemExit("--torch-weight supports the lanegcn model")
+        params = jax.tree.map(
+            jnp.asarray, load_torch_checkpoint(args.torch_weight, config.model)
+        )
+        print(f"imported torch checkpoint {args.torch_weight}")
+    elif args.weight:
         ck = load_checkpoint(args.weight)
         params = load_pretrain(params, ck["params"])
         print(f"loaded {args.weight}")
@@ -534,6 +546,9 @@ def main(argv=None):
     pe.add_argument("--model", default="lanegcn")
     pe.add_argument("--data", default="synthetic:64")
     pe.add_argument("--weight", default=None)
+    pe.add_argument("--torch-weight", default=None,
+                    help="import a reference torch checkpoint "
+                         "(state_dict ckpt, e.g. 36.000.ckpt)")
     pe.add_argument("--batch-size", type=int, default=8)
     pe.add_argument("--submission", default=None,
                     help="write a competition submission file (h5/npz)")
