@@ -185,10 +185,27 @@ def cmd_train(args):
         # train.py:55-59); the *shuffle* seed stays shared so the strided
         # process shards below are disjoint.
         dataset = RotationAugment(dataset, seed=process_seed(config.train.seed))
+    # Explicit graph-parallel (--mesh DxG, G>1): the measured path
+    # (tools/collective_audit.py — GSPMD infers ~25x more collectives /
+    # ~17x more bytes for this program). It consumes FLAT packs; the
+    # band/table/Pallas fusions stay the single-chip fast path.
+    graph_n_req = _parse_mesh(args.mesh)[1] if args.mesh else 1
+    explicit_gp = (
+        graph_n_req > 1
+        and args.model == "lanegcn"
+        and getattr(args, "graph_parallel", "explicit") == "explicit"
+    )
+    loader_kw = {}
+    if explicit_gp:
+        from lanegcn_tpu.data.packing import pack_batch
+
+        loader_kw["packer"] = lambda scens, cfg: pack_batch(
+            scens, cfg.pack, cfg.model, split_bands=False, split_tables=False
+        )
     loader = _make_loader(
         dataset, config, args.model,
         shuffle=True, seed=config.train.seed, pack_workers=args.workers,
-        process_index=pi, process_count=pc,
+        process_index=pi, process_count=pc, **loader_kw,
     )
 
     if pc > 1 and not args.mesh:
@@ -207,10 +224,18 @@ def cmd_train(args):
             f"data mesh axis {data_n} must be a multiple of process count {pc}"
         )
         mesh = make_mesh_2d(data=data_n, graph=graph_n)
+        if explicit_gp:
+            n_act = config.pack.max_actors * config.pack.max_scenarios
+            assert config.pack.max_nodes % graph_n == 0 and n_act % graph_n == 0, (
+                f"pack capacities (nodes {config.pack.max_nodes}, actors "
+                f"{n_act}) must divide the graph axis {graph_n}"
+            )
         if pi == 0:
             print(f"mesh: data={data_n} x graph={graph_n} on "
                   f"{[d.platform for d in mesh.devices.flat][0]}, "
-                  f"{pc} process(es)")
+                  f"{pc} process(es)"
+                  + (f", graph axis: explicit shard_map" if explicit_gp
+                     else (", graph axis: GSPMD" if graph_n > 1 else "")))
     else:
         data_n = 1
     # One optimizer step consumes data_n packs globally; each process packs
@@ -221,7 +246,16 @@ def cmd_train(args):
 
     def to_global(stacked):
         if state["shardings"] is None:
-            state["shardings"] = graph_batch_shardings(mesh, stacked)
+            if explicit_gp:
+                # shard_map in_specs: every batch leaf rides the data axis
+                # whole; the graph axis lives in the partitioned edges.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                state["shardings"] = jax.tree.map(
+                    lambda _: NamedSharding(mesh, P("data")), stacked
+                )
+            else:
+                state["shardings"] = graph_batch_shardings(mesh, stacked)
         if pc == 1:
             return stacked
         return jax.tree.map(
@@ -229,9 +263,20 @@ def cmd_train(args):
             state["shardings"], stacked,
         )
 
+    def edges_global(se):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if pc == 1:
+            return se
+        sh = NamedSharding(mesh, P("data", "graph"))
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), se
+        )
+
     def global_batches(epoch_i):
         """Yield per-step batches: single packs, or stacked groups of
-        data_local local packs assembled into a global [data_n, ...] batch."""
+        data_local local packs assembled into a global [data_n, ...] batch
+        (+ source-partitioned edge shards on the explicit graph path)."""
         group = []
         for b in loader.epoch(epoch_i):
             if mesh is None:
@@ -243,7 +288,14 @@ def cmd_train(args):
             if len(group) == data_local:
                 if state["first_pack"] is None:
                     state["first_pack"] = group[0]
-                yield to_global(stack_packs(group))
+                stacked = stack_packs(group)
+                if explicit_gp:
+                    from lanegcn_tpu.parallel import partition_stacked_edges
+
+                    se = partition_stacked_edges(stacked, config, graph_n)
+                    yield (to_global(stacked), edges_global(se))
+                else:
+                    yield to_global(stacked)
                 group = []
 
     sample = None
@@ -272,6 +324,13 @@ def cmd_train(args):
         train_step = make_train_step(
             config, net, tx, lr_fn, bundle.loss_fn, bundle.metrics_fn
         )
+    elif explicit_gp:
+        from lanegcn_tpu.parallel import make_explicit_parallel_train_step
+
+        _raw_step = make_explicit_parallel_train_step(
+            config, tx, lr_fn, mesh, bundle.loss_fn, bundle.metrics_fn
+        )
+        train_step = lambda p, o, b, e: _raw_step(p, o, b[0], b[1], e)
     else:
         train_step = make_parallel_train_step(
             config, net, tx, lr_fn, mesh, bundle.loss_fn, bundle.metrics_fn,
@@ -528,6 +587,11 @@ def main(argv=None):
                     help="background packing threads (PackedLoader)")
     pt.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of steps 5-10 to DIR")
+    pt.add_argument("--graph-parallel", choices=["explicit", "gspmd"],
+                    default="explicit",
+                    help="graph-axis strategy for --mesh DxG (G>1): explicit "
+                         "shard_map kernels (measured: ~25x fewer collectives, "
+                         "tools/collective_audit.py) or GSPMD inference")
     pt.add_argument("--mesh", default=None, metavar="DxG",
                     help="device mesh, e.g. 4 (data) or 4x2 (data x graph); "
                          "default single-device (multi-process: all devices)")

@@ -7,6 +7,11 @@ replicated, and XLA inserts the gradient psum during jit partitioning —
 no explicit collectives or broadcasts in user code.
 """
 
+from lanegcn_tpu.parallel.graph_parallel import (  # noqa: F401
+    make_explicit_parallel_train_step,
+    partition_stacked_edges,
+    sharded_edge_specs,
+)
 from lanegcn_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     graph_batch_shardings,

@@ -1,0 +1,300 @@
+"""Explicit graph-parallel LaneGCN train step: shard_map over (data × graph).
+
+Why this exists (measured, tools/collective_audit.py): letting GSPMD infer
+the graph-axis layout for the full train step inserts ~1,113 collectives
+moving ~246 MB per step on a (data=2, graph=2) virtual mesh — mostly
+collective-permutes and all-to-alls resharding every indexed gather over the
+sharded node/actor arrays. The explicit edge-partitioned kernels
+(parallel/graph_shard.py) spend 44 collectives / 13 MB for the same model:
+one psum_scatter per LaneConv layer, one all_gather + one psum_scatter per
+Att. This module composes those kernels into the FULL model + loss +
+optimizer step, so `--mesh DxG` runs the explicit path end to end.
+
+Layout:
+- mesh ("data", "graph"): each data row owns one pack; each graph column
+  owns a contiguous 1/G slice of that pack's node rows and actor rows.
+- batch inputs are replicated within a pack's graph group (they are small —
+  the big arrays are the activations, which live sharded); every device
+  slices its own rows. Edges are partitioned by SOURCE shard on host
+  (partition_stacked_edges) so message gathers are shard-local and the only
+  per-layer communication is the psum_scatter of destination partial sums.
+- loss/metrics: per-shard outputs are all_gather'd (small: [A, K·T·2]) and
+  fed to the UNCHANGED pred_loss/agent_metrics — semantics identical to the
+  single-device step by construction; the all_gather's VJP (psum_scatter)
+  routes cotangents back to the owning shards.
+- gradients: psum over "graph" (each shard holds its local-compute
+  contribution) then pmean over "data" (mean-of-per-pack-losses, matching
+  make_parallel_train_step and horovod's averaging, reference train.py:66-69).
+
+This path consumes FLAT packs (pack_batch(split_bands=False,
+split_tables=False)): the band/table/Pallas fusions assume pack-contiguous
+rows and are the single-chip fast path; at multi-chip scale the collective
+structure dominates. The param tree is identical either way, so checkpoints
+transfer between paths.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lanegcn_tpu.config import Config, relation_names
+from lanegcn_tpu.graph import EdgeSet, PackedBatch
+from lanegcn_tpu.models.actor_net import ActorNet
+from lanegcn_tpu.models.lanegcn import agent_metrics, pred_loss
+from lanegcn_tpu.models.pred_net import PredNet
+from lanegcn_tpu.ops import group_norm
+from lanegcn_tpu.parallel.graph_shard import (
+    _att_apply_sharded,
+    _extract_layer_params,
+    _lane_conv_layer_sharded,
+)
+from lanegcn_tpu.train.optimizer import guarded_optimizer_step, optimizer_step
+
+
+def _round_up(n: int, mult: int) -> int:
+    return ((n + mult - 1) // mult) * mult
+
+
+def shard_edge_capacity(capacity: int, num_shards: int, slack: float = 2.0) -> int:
+    """Static per-shard edge capacity: E/G with skew slack, 128-aligned."""
+    return min(capacity, _round_up(int(np.ceil(capacity / num_shards * slack)), 128))
+
+
+def _partition_one(
+    e: EdgeSet, n_src: int, num_shards: int, cap: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split one edge list by the owner shard of the SOURCE node v.
+    v becomes shard-local; u stays pack-global. Raises on overflow."""
+    rows = n_src // num_shards
+    u = np.asarray(e.u)
+    v = np.asarray(e.v)
+    m = np.asarray(e.mask)
+    owner = np.where(m, v // rows, 0)
+    su = np.zeros((num_shards, cap), np.int32)
+    sv = np.zeros((num_shards, cap), np.int32)
+    sm = np.zeros((num_shards, cap), bool)
+    for s in range(num_shards):
+        sel = m & (owner == s)
+        k = int(sel.sum())
+        if k > cap:
+            raise ValueError(
+                f"edge shard overflow: {k} > cap {cap} (raise slack in "
+                f"partition_stacked_edges)"
+            )
+        su[s, :k] = u[sel]
+        sv[s, :k] = v[sel] - s * rows
+        sm[s, :k] = True
+    return su, sv, sm
+
+
+def partition_stacked_edges(
+    batch: PackedBatch, config: Config, num_shards: int, slack: float = 2.0
+) -> Dict:
+    """Host-side: partition a STACKED flat batch's edges by source shard.
+
+    Returns {"graph": {rel: (u, v, mask)}, "a2m": ..., "m2a": ..., "a2a": ...}
+    with leading axes [D, G, cap]. Sources: graph relations + m2a → lane
+    nodes; a2m + a2a → actors.
+    """
+    names = relation_names(config.model.num_scales)
+    n_nodes = config.pack.max_nodes
+    n_actors = config.pack.max_actors * config.pack.max_scenarios
+    d = batch.rot.shape[0]
+
+    def stack_rel(get_edge, n_src, cap):
+        us, vs, ms = [], [], []
+        for i in range(d):
+            e = jax.tree.map(lambda x: np.asarray(x)[i], get_edge)
+            su, sv, sm = _partition_one(e, n_src, num_shards, cap)
+            us.append(su)
+            vs.append(sv)
+            ms.append(sm)
+        return EdgeSet(
+            u=np.stack(us), v=np.stack(vs), mask=np.stack(ms)
+        )
+
+    out: Dict = {"graph": {}}
+    for nm in names:
+        e = batch.graph.edges[nm]
+        cap = shard_edge_capacity(e.u.shape[-1], num_shards, slack)
+        out["graph"][nm] = stack_rel(
+            EdgeSet(u=e.u, v=e.v, mask=e.mask), n_nodes, cap
+        )
+    for key, e, n_src in (
+        ("a2m", batch.fusion.a2m, n_actors),
+        ("m2a", batch.fusion.m2a, n_nodes),
+        ("a2a", batch.fusion.a2a, n_actors),
+    ):
+        cap = shard_edge_capacity(e.u.shape[-1], num_shards, slack)
+        out[key] = stack_rel(EdgeSet(u=e.u, v=e.v, mask=e.mask), n_src, cap)
+    return out
+
+
+def sharded_edge_specs(sharded_edges) -> object:
+    """P("data", "graph") for every leaf of partition_stacked_edges output."""
+    return jax.tree.map(lambda _: P("data", "graph"), sharded_edges)
+
+
+def _dense_p(p, x):
+    y = jnp.dot(x, p["kernel"])
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def _linear_gn(p, x, act=True):
+    y = jnp.dot(x, p["linear"]["kernel"])
+    y = group_norm(y, p["norm"]["weight"], p["norm"]["bias"], 1)
+    return jax.nn.relu(y) if act else y
+
+
+def _rows(x, sid, size):
+    return jax.lax.dynamic_slice_in_dim(x, sid * size, size, axis=0)
+
+
+def _forward_local(params, pack, se, cfg, sid, num_shards: int, axis: str):
+    """Per-device LaneGCN forward on its node/actor row slice; returns the
+    FULL gathered outputs {"cls" [A, K], "reg" [A, K, T, 2]} (world frame).
+    Mirrors models/lanegcn.py LaneGCN.__call__ stage by stage."""
+    mcfg = cfg.model
+    n_nodes = pack.graph.ctrs.shape[0]
+    n_actors = pack.actors.ctrs.shape[0]
+    names = relation_names(mcfg.num_scales)
+
+    n_loc = n_nodes // num_shards
+    a_loc = n_actors // num_shards
+
+    # ActorNet on local actor rows (row-independent conv FPN).
+    feats_loc = _rows(pack.actors.feats, sid, a_loc)
+    actors = ActorNet(mcfg).apply({"params": params["actor_net"]}, feats_loc)
+
+    # MapNet: input/seg embeds on local node rows + sharded LaneConv stack.
+    mp = params["map_net"]
+    ctrs_loc = _rows(pack.graph.ctrs, sid, n_loc)
+    segs_loc = _rows(pack.graph.feats, sid, n_loc)
+    ctr_emb = _linear_gn(mp["input_out"], jax.nn.relu(_dense_p(mp["input_dense"], ctrs_loc)), act=False)
+    seg_emb = _linear_gn(mp["seg_out"], jax.nn.relu(_dense_p(mp["seg_dense"], segs_loc)), act=False)
+    nodes = jax.nn.relu(ctr_emb + seg_emb)
+    for i in range(mcfg.num_fuse_layers):
+        nodes = _lane_conv_layer_sharded(
+            nodes, se["graph"], _extract_layer_params(mp["fuse"], i), names, n_nodes, axis
+        )
+
+    # A2M: meta concat on local node rows, then sharded Att (dest = nodes).
+    meta = jnp.concatenate(
+        [
+            _rows(pack.graph.turn, sid, n_loc),
+            _rows(pack.graph.control, sid, n_loc)[:, None],
+            _rows(pack.graph.intersect, sid, n_loc)[:, None],
+        ],
+        axis=-1,
+    )
+    nodes = _linear_gn(
+        params["a2m"]["meta"], jnp.concatenate([nodes, meta.astype(nodes.dtype)], axis=-1)
+    )
+    actor_ctrs_loc = _rows(pack.actors.ctrs, sid, a_loc)
+    for i in range(mcfg.num_att_layers):
+        nodes = _att_apply_sharded(
+            params["a2m"][f"att{i}"], nodes, pack.graph.ctrs, actors,
+            actor_ctrs_loc, se["a2m"], n_nodes, axis,
+        )
+
+    # M2M: sharded LaneConv stack (no embeds).
+    for i in range(mcfg.num_fuse_layers):
+        nodes = _lane_conv_layer_sharded(
+            nodes, se["graph"], _extract_layer_params(params["m2m"]["fuse"], i),
+            names, n_nodes, axis,
+        )
+
+    # M2A (dest = actors, src = nodes), then A2A.
+    node_ctrs_loc = _rows(pack.graph.ctrs, sid, n_loc)
+    for i in range(mcfg.num_att_layers):
+        actors = _att_apply_sharded(
+            params["m2a"][f"att{i}"], actors, pack.actors.ctrs, nodes,
+            node_ctrs_loc, se["m2a"], n_actors, axis,
+        )
+    for i in range(mcfg.num_att_layers):
+        actors = _att_apply_sharded(
+            params["a2a"][f"att{i}"], actors, pack.actors.ctrs, actors,
+            actor_ctrs_loc, se["a2a"], n_actors, axis,
+        )
+
+    # PredNet on local actor rows + world transform.
+    cls, reg = PredNet(mcfg).apply(
+        {"params": params["pred_net"]}, actors, actor_ctrs_loc
+    )
+    scen_loc = _rows(pack.actors.scen, sid, a_loc)
+    rot = jnp.take(pack.rot, scen_loc, axis=0)
+    orig = jnp.take(pack.orig, scen_loc, axis=0)
+    reg = jnp.einsum("aktc,acd->aktd", reg.astype(jnp.float32), rot) + orig[:, None, None, :]
+
+    # Gather the small outputs so loss/metrics run UNCHANGED (their VJP
+    # psum_scatters cotangents back to the owning shard).
+    cls_full = jax.lax.all_gather(cls.astype(jnp.float32), axis, tiled=True)
+    reg_full = jax.lax.all_gather(reg, axis, tiled=True)
+    return {"cls": cls_full, "reg": reg_full}
+
+
+def make_explicit_parallel_train_step(
+    config: Config, tx, lr_fn, mesh: Mesh, loss_fn=None, metrics_fn=None
+):
+    """jit(shard_map) train step over a (data × graph) mesh.
+
+    fn(params, opt_state, batch[D, ...], sharded_edges, epoch) →
+    (params, opt_state, metrics); batch is a stacked FLAT pack, sharded_edges
+    from partition_stacked_edges. Loss/metric semantics match
+    make_parallel_train_step exactly (mean of per-pack losses; summed metric
+    supports).
+    """
+    loss_fn = loss_fn or pred_loss
+    metrics_fn = metrics_fn or agent_metrics
+    guard = config.train.nan_guard
+    num_shards = mesh.shape["graph"]
+
+    def per_device(params, opt_state, batch, sharded_edges, epoch):
+        pack = jax.tree.map(lambda x: jnp.squeeze(x, 0), batch)
+        se = jax.tree.map(lambda x: jnp.squeeze(jnp.squeeze(x, 0), 0), sharded_edges)
+        sid = jax.lax.axis_index("graph")
+
+        def objective(p):
+            out = _forward_local(p, pack, se, config, sid, num_shards, "graph")
+            losses = loss_fn(out, pack, config.loss)
+            m = dict(losses)
+            m.update(metrics_fn(out, pack))
+            return losses["loss"], m
+
+        (_, metrics), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        # Shard contributions → full per-pack grad → mean over packs.
+        grads = jax.tree.map(
+            lambda x: jax.lax.pmean(jax.lax.psum(x, "graph"), "data"), grads
+        )
+        loss_mean = jax.lax.pmean(metrics["loss"], "data")
+        metrics = {
+            k: (jax.lax.psum(v, "data") if k != "loss" else loss_mean)
+            for k, v in metrics.items()
+        }
+        lr = lr_fn(epoch)
+        if guard:
+            params, opt_state, ok = guarded_optimizer_step(
+                tx, params, grads, opt_state, lr, loss_mean
+            )
+            metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
+        else:
+            params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
+        metrics["lr"] = lr
+        return params, opt_state, metrics
+
+    batch_spec = P("data")
+    shard_fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), batch_spec, P("data", "graph"), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn, donate_argnums=(0, 1))
