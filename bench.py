@@ -71,10 +71,18 @@ def bench_pack_config(num_scen: int | None = None) -> PackConfig:
     # Matches the graph shapes of reference data.py:220-361 far better than
     # the round-1 straight corridors, where the edge lists were all empty.
     s = num_scen or int(os.environ.get("BENCH_SCEN", "256"))
+    # ~706 lane nodes/scenario measured; node capacity is the unit of work
+    # for EVERY row op in the LaneConv stacks (ctr matmul, band layer, GN,
+    # ctr2 — the profiled 60% of the step), so its headroom is the single
+    # most expensive padding knob. Measured: 1024/scen (69% occupancy)
+    # 1,061 scen/s → 832 (85%) 1,201 → 768 (92%) 1,245. At 256-scenario
+    # aggregation the per-pack node total concentrates within ~1% of the
+    # mean, so 768's ~9% headroom keeps drops at zero (asserted below).
+    node_cap = int(os.environ.get("BENCH_NODE_CAP", "768"))
     return PackConfig(
         max_scenarios=s,
         max_actors=16 * s,
-        max_nodes=1024 * s,
+        max_nodes=node_cap * s,
         max_edges_scale0=max(16 * s, 512),
         # Dilated fan at junctions doubles per scale (measured ≈ 6·2^i
         # edges/scenario); per-scale capacity at ~1.3x headroom — a uniform
@@ -133,7 +141,10 @@ def occupancy(batch) -> dict:
     fusion = sum(
         int(np.sum(e.mask)) for e in (batch.fusion.a2m, batch.fusion.m2a, batch.fusion.a2a)
     )
-    return {"overflow": overflow, "banded": banded, "tabled": tabled, "fusion": fusion}
+    return {
+        "overflow": overflow, "banded": banded, "tabled": tabled, "fusion": fusion,
+        "nodes_used": int(np.sum(batch.graph.node_mask)), "node_cap": n_cap,
+    }
 
 
 def count_edges(batch) -> int:
@@ -186,7 +197,8 @@ def main():
     print(
         f"# edge occupancy/pack: {occ['overflow']} overflow (irregular "
         f"scatter), {occ['banded']} banded, {occ['tabled']} tabled, "
-        f"{occ['fusion']} fusion",
+        f"{occ['fusion']} fusion; nodes {occ['nodes_used']}/{occ['node_cap']} "
+        f"({100.0 * occ['nodes_used'] / occ['node_cap']:.0f}% of capacity)",
         file=sys.stderr,
     )
     assert occ["overflow"] > 0, "bench graphs must exercise the scatter path"

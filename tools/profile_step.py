@@ -66,7 +66,7 @@ def main():
     want = set(sys.argv[1:]) or {"step", "grad", "fwd"}
     config = Config(pack=bench_pack_config())
     t0 = time.time()
-    batches, stats = make_batches(config, 1, config.pack.max_scenarios)
+    batches, stats, _ = make_batches(config, 1, config.pack.max_scenarios)
     batch = batches[0]
     print(f"# packed in {time.time()-t0:.1f}s", flush=True)
 
