@@ -36,30 +36,31 @@ BASELINE_SCEN_PER_S_PER_CHIP = 235.0 / 4.0
 
 
 def bench_roi_config(scen: int = 512) -> RoiPackConfig:
-    # Realistic sizes: ~8.5 RoIs and ~570 RoI nodes per scenario. Intra-lane
-    # pre/suc edges live in the band masks; the edge lists carry only
-    # cross-lane residue + left/right. Pool edges (~5k/scenario each way)
-    # dominate capacity and HBM. Measured at 256 scenarios: 2,176 RoIs,
-    # 149,616 RoI nodes, 79.4k global nodes, 1.34M pool edges, 44k a2r —
-    # capacities carry ~10% headroom (the pack asserts zero drops below,
-    # so an overflow fails loudly rather than silently).
+    # Urban junction-rich graphs (round 2 — matches bench.py; the round-1
+    # corridor numbers are not comparable). Measured at 256 scenarios
+    # (7 corridors, 12 actors, urban=True): 1,357 RoIs, 93.9k RoI nodes,
+    # 180.8k global nodes, 17.8k interest nodes, 936k pool edges each way,
+    # 9k a2m, 43k a2r; the RoI edge lists carry a real cross-lane residue
+    # at every dilation scale (674..6,122 per relation — the corridors had
+    # zero). Capacities carry ~10% headroom; the pack asserts zero drops
+    # below, so an overflow fails loudly rather than silently.
     f = scen // 256
     return RoiPackConfig(
         max_scenarios=scen,
-        max_rois=2560 * f,
-        max_roi_nodes=163840 * f,
-        max_global_nodes=81920 * f,  # ~79.4k used: the global graph is the
-        # union while RoI nodes are per-agent copies — without this the
-        # Interactor's global stack and pooling sources run at 2x padding
-        max_interest_nodes=24576 * f,
-        max_edges_scale0=8192 * f,
+        max_rois=1536 * f,
+        max_roi_nodes=104448 * f,
+        max_global_nodes=196608 * f,  # 768/scen, 92% occupancy — same
+        # right-sizing as bench.py: node capacity is the work unit of every
+        # row op in the shared LaneConv stacks
+        max_interest_nodes=20480 * f,
+        max_edges_scale0=1024 * f,
         max_edges_dilated=8192 * f,
-        # left/right ride the [M] neighbor tables (85k each measured, zero
-        # duplicate-destination residue on synthetic corridors); capacity
-        # kept nonzero so the overflow scatter path stays in the program
-        max_edges_lr=4096 * f,
-        max_a2m_edges=32768 * f,
-        max_pool_edges=int(os.environ.get("BENCH_POOL_CAP", 1474560 * f)),
+        # left/right ride the [M] neighbor tables (51.8k each measured,
+        # zero duplicate-destination residue); capacity kept nonzero so
+        # the overflow scatter path stays in the program
+        max_edges_lr=1024 * f,
+        max_a2m_edges=10240 * f,
+        max_pool_edges=int(os.environ.get("BENCH_POOL_CAP", 1048576 * f)),
         max_a2r_edges=49152 * f,
     )
 
@@ -75,7 +76,9 @@ def main():
     scen_per_batch = config.roi_pack.max_scenarios
 
     t0 = time.time()
-    ds = RoiSyntheticDataset(num_batches * scen_per_batch, num_corridors=3, num_actors=12)
+    ds = RoiSyntheticDataset(
+        num_batches * scen_per_batch, num_corridors=7, num_actors=12, urban=True
+    )
     batches = []
     for b in range(num_batches):
         scens = [ds[b * scen_per_batch + i] for i in range(scen_per_batch)]
