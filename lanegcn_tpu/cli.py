@@ -198,10 +198,21 @@ def cmd_train(args):
     loader_kw = {}
     if explicit_gp:
         from lanegcn_tpu.data.packing import pack_batch
+        from lanegcn_tpu.parallel import partition_pack_edges
 
-        loader_kw["packer"] = lambda scens, cfg: pack_batch(
-            scens, cfg.pack, cfg.model, split_bands=False, split_tables=False
-        )
+        # Pack AND partition edges per pack inside the loader workers so the
+        # step loop stays host-work-free (the pure-Python partition loop
+        # would otherwise starve the device on the multi-chip path).
+        def _pack_and_partition(scens, cfg):
+            batch, stats = pack_batch(
+                scens, cfg.pack, cfg.model, split_bands=False, split_tables=False
+            )
+            se = partition_pack_edges(
+                batch, cfg, graph_n_req, slack=args.edge_shard_slack
+            )
+            return (batch, se), stats
+
+        loader_kw["packer"] = _pack_and_partition
     loader = _make_loader(
         dataset, config, args.model,
         shuffle=True, seed=config.train.seed, pack_workers=args.workers,
@@ -286,16 +297,19 @@ def cmd_train(args):
                 continue
             group.append(b)
             if len(group) == data_local:
-                if state["first_pack"] is None:
-                    state["first_pack"] = group[0]
-                stacked = stack_packs(group)
                 if explicit_gp:
-                    from lanegcn_tpu.parallel import partition_stacked_edges
+                    from lanegcn_tpu.parallel import stack_pack_edges
 
-                    se = partition_stacked_edges(stacked, config, graph_n)
+                    packs = [p for p, _ in group]
+                    if state["first_pack"] is None:
+                        state["first_pack"] = packs[0]
+                    stacked = stack_packs(packs)
+                    se = stack_pack_edges([s for _, s in group])
                     yield (to_global(stacked), edges_global(se))
                 else:
-                    yield to_global(stacked)
+                    if state["first_pack"] is None:
+                        state["first_pack"] = group[0]
+                    yield to_global(stack_packs(group))
                 group = []
 
     sample = None
@@ -587,6 +601,10 @@ def main(argv=None):
                     help="background packing threads (PackedLoader)")
     pt.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of steps 5-10 to DIR")
+    pt.add_argument("--edge-shard-slack", type=float, default=2.0,
+                    help="per-shard edge-capacity slack for the explicit "
+                         "graph-parallel partition (overflow edges beyond "
+                         "cap are dropped with a warning)")
     pt.add_argument("--graph-parallel", choices=["explicit", "gspmd"],
                     default="explicit",
                     help="graph-axis strategy for --mesh DxG (G>1): explicit "

@@ -2,8 +2,8 @@
 
 Replaces the reference's DataLoader + giant-pickle flow (reference
 data.py:16-105, preprocess_data.py:242-263) with:
-- ScenarioDataset: per-scenario dicts from a directory of .npz shards
-  (preprocessed offline) or generated synthetically,
+- ShardDataset: per-scenario dicts from a directory of .pkl pickle shards
+  (the preprocess CLI writes these) — or generated synthetically,
 - PackedLoader: shuffles scenario order, packs fixed-capacity batches on a
   background thread so device steps never wait on host work.
 """

@@ -9,8 +9,10 @@ no explicit collectives or broadcasts in user code.
 
 from lanegcn_tpu.parallel.graph_parallel import (  # noqa: F401
     make_explicit_parallel_train_step,
+    partition_pack_edges,
     partition_stacked_edges,
     sharded_edge_specs,
+    stack_pack_edges,
 )
 from lanegcn_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,

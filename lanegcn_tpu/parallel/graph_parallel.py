@@ -22,9 +22,15 @@ Layout:
   fed to the UNCHANGED pred_loss/agent_metrics — semantics identical to the
   single-device step by construction; the all_gather's VJP (psum_scatter)
   routes cotangents back to the owning shards.
-- gradients: psum over "graph" (each shard holds its local-compute
-  contribution) then pmean over "data" (mean-of-per-pack-losses, matching
-  make_parallel_train_step and horovod's averaging, reference train.py:66-69).
+- gradients: pmean over "graph" then pmean over "data". The graph-axis
+  mean (not sum) is load-bearing: the loss is recomputed identically on
+  every graph shard from the all_gather'd cls/reg, and all_gather's VJP
+  (psum_scatter) SUMS those G identical cotangents — so each shard's local
+  gradient contribution already carries a factor of G. Summing shard
+  contributions would yield G x the true per-pack gradient (invisible under
+  Adam's scale invariance, wrong under sgd/clip_grads); the mean cancels the
+  factor exactly. The data-axis mean matches make_parallel_train_step and
+  horovod's averaging (reference train.py:66-69).
 
 This path consumes FLAT packs (pack_batch(split_bands=False,
 split_tables=False)): the band/table/Pallas fusions assume pack-contiguous
@@ -67,9 +73,12 @@ def shard_edge_capacity(capacity: int, num_shards: int, slack: float = 2.0) -> i
 
 def _partition_one(
     e: EdgeSet, n_src: int, num_shards: int, cap: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Split one edge list by the owner shard of the SOURCE node v.
-    v becomes shard-local; u stays pack-global. Raises on overflow."""
+    v becomes shard-local; u stays pack-global. A skewed batch that
+    overflows a shard's capacity drops the tail edges (returned in the
+    dropped count) instead of killing the run — the caller logs it; raise
+    --edge-shard-slack if it recurs."""
     rows = n_src // num_shards
     u = np.asarray(e.u)
     v = np.asarray(e.v)
@@ -78,18 +87,65 @@ def _partition_one(
     su = np.zeros((num_shards, cap), np.int32)
     sv = np.zeros((num_shards, cap), np.int32)
     sm = np.zeros((num_shards, cap), bool)
+    dropped = 0
     for s in range(num_shards):
         sel = m & (owner == s)
         k = int(sel.sum())
         if k > cap:
-            raise ValueError(
-                f"edge shard overflow: {k} > cap {cap} (raise slack in "
-                f"partition_stacked_edges)"
-            )
-        su[s, :k] = u[sel]
-        sv[s, :k] = v[sel] - s * rows
+            dropped += k - cap
+            k = cap
+        su[s, :k] = u[sel][:k]
+        sv[s, :k] = v[sel][:k] - s * rows
         sm[s, :k] = True
-    return su, sv, sm
+    return su, sv, sm, dropped
+
+
+def partition_pack_edges(
+    batch: PackedBatch, config: Config, num_shards: int, slack: float = 2.0
+) -> Dict:
+    """Host-side: partition ONE flat pack's edges by source shard.
+
+    Returns {"graph": {rel: EdgeSet}, "a2m": ..., "m2a": ..., "a2a": ...}
+    with leading axes [G, cap] plus a "dropped_edges" int. Sources: graph
+    relations + m2a → lane nodes; a2m + a2a → actors. Per-pack so the
+    loader's pack workers can run it off the step critical path
+    (cli.py wires it into the packer)."""
+    names = relation_names(config.model.num_scales)
+    n_nodes = config.pack.max_nodes
+    n_actors = config.pack.max_actors * config.pack.max_scenarios
+    dropped_total = 0
+
+    def one_rel(e, n_src):
+        nonlocal dropped_total
+        cap = shard_edge_capacity(e.u.shape[-1], num_shards, slack)
+        su, sv, sm, dropped = _partition_one(e, n_src, num_shards, cap)
+        dropped_total += dropped
+        return EdgeSet(u=su, v=sv, mask=sm)
+
+    out: Dict = {"graph": {}}
+    for nm in names:
+        e = batch.graph.edges[nm]
+        out["graph"][nm] = one_rel(EdgeSet(u=e.u, v=e.v, mask=e.mask), n_nodes)
+    for key, e, n_src in (
+        ("a2m", batch.fusion.a2m, n_actors),
+        ("m2a", batch.fusion.m2a, n_nodes),
+        ("a2a", batch.fusion.a2a, n_actors),
+    ):
+        out[key] = one_rel(EdgeSet(u=e.u, v=e.v, mask=e.mask), n_src)
+    out["dropped_edges"] = dropped_total
+    return out
+
+
+def stack_pack_edges(parts) -> Dict:
+    """Stack per-pack partition_pack_edges outputs into [D, G, cap] arrays;
+    logs a warning if any pack dropped overflow edges."""
+    dropped = sum(p.pop("dropped_edges", 0) for p in parts)
+    if dropped:
+        print(
+            f"WARNING: edge-shard overflow dropped {dropped} edges this step "
+            f"(skewed batch; raise --edge-shard-slack)"
+        )
+    return jax.tree.map(lambda *xs: np.stack(xs), *parts)
 
 
 def partition_stacked_edges(
@@ -98,41 +154,18 @@ def partition_stacked_edges(
     """Host-side: partition a STACKED flat batch's edges by source shard.
 
     Returns {"graph": {rel: (u, v, mask)}, "a2m": ..., "m2a": ..., "a2a": ...}
-    with leading axes [D, G, cap]. Sources: graph relations + m2a → lane
-    nodes; a2m + a2a → actors.
+    with leading axes [D, G, cap]. Composed from per-pack
+    partition_pack_edges (production runs that per pack on loader workers).
     """
-    names = relation_names(config.model.num_scales)
-    n_nodes = config.pack.max_nodes
-    n_actors = config.pack.max_actors * config.pack.max_scenarios
     d = batch.rot.shape[0]
-
-    def stack_rel(get_edge, n_src, cap):
-        us, vs, ms = [], [], []
-        for i in range(d):
-            e = jax.tree.map(lambda x: np.asarray(x)[i], get_edge)
-            su, sv, sm = _partition_one(e, n_src, num_shards, cap)
-            us.append(su)
-            vs.append(sv)
-            ms.append(sm)
-        return EdgeSet(
-            u=np.stack(us), v=np.stack(vs), mask=np.stack(ms)
+    parts = [
+        partition_pack_edges(
+            jax.tree.map(lambda x: np.asarray(x)[i], batch),
+            config, num_shards, slack,
         )
-
-    out: Dict = {"graph": {}}
-    for nm in names:
-        e = batch.graph.edges[nm]
-        cap = shard_edge_capacity(e.u.shape[-1], num_shards, slack)
-        out["graph"][nm] = stack_rel(
-            EdgeSet(u=e.u, v=e.v, mask=e.mask), n_nodes, cap
-        )
-    for key, e, n_src in (
-        ("a2m", batch.fusion.a2m, n_actors),
-        ("m2a", batch.fusion.m2a, n_nodes),
-        ("a2a", batch.fusion.a2a, n_actors),
-    ):
-        cap = shard_edge_capacity(e.u.shape[-1], num_shards, slack)
-        out[key] = stack_rel(EdgeSet(u=e.u, v=e.v, mask=e.mask), n_src, cap)
-    return out
+        for i in range(d)
+    ]
+    return stack_pack_edges(parts)
 
 
 def sharded_edge_specs(sharded_edges) -> object:
@@ -269,9 +302,12 @@ def make_explicit_parallel_train_step(
             return losses["loss"], m
 
         (_, metrics), grads = jax.value_and_grad(objective, has_aux=True)(params)
-        # Shard contributions → full per-pack grad → mean over packs.
+        # pmean (not psum) over "graph": each shard's contribution is already
+        # G x its true share because the replicated loss's cotangents are
+        # summed by all_gather's VJP — see the module docstring. Then mean
+        # over packs.
         grads = jax.tree.map(
-            lambda x: jax.lax.pmean(jax.lax.psum(x, "graph"), "data"), grads
+            lambda x: jax.lax.pmean(jax.lax.pmean(x, "graph"), "data"), grads
         )
         loss_mean = jax.lax.pmean(metrics["loss"], "data")
         metrics = {

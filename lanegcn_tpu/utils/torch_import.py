@@ -271,7 +271,19 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig) -> Dict:
     """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # Safe path first: plain state_dict checkpoints (the published
+        # 36.000.ckpt case) need no arbitrary unpickling.
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"{path}: weights_only load failed; falling back to full "
+            "unpickling — only do this for checkpoints you trust",
+            stacklevel=2,
+        )
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     sd_np = {k: v.detach().cpu().numpy() for k, v in sd.items()}
     return import_state_dict(sd_np, cfg)

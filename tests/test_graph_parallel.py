@@ -95,6 +95,60 @@ def test_explicit_step_matches_data_mesh():
     np.testing.assert_allclose(float(m_ex2["loss"]), float(m1d2["loss"]), rtol=5e-3)
 
 
+def test_explicit_step_sgd_update_parity():
+    """SGD parameter-update parity between the explicit (data=2, graph=2)
+    step and the 1-D data-mesh step. Unlike the Adam leg above, SGD updates
+    scale linearly with the gradient, so a uniform G x gradient inflation
+    (the round-2 psum-over-graph bug: replicated loss + all_gather VJP
+    summing G identical cotangents) fails this test by exactly mesh G."""
+    import dataclasses
+
+    assert len(jax.devices()) >= 8
+    from lanegcn_tpu.config import TrainConfig
+
+    config = Config(pack=TINY, train=TrainConfig(opt="sgd", nan_guard=False))
+    net = LaneGCN(config.model)
+    tx, lr_fn = make_optimizer(config.train)
+    batch = stack_packs(_flat_packs(config, 2, seed0=60))
+    sample = jax.tree.map(lambda x: jnp.asarray(x[0]), batch)
+    params = net.init(jax.random.PRNGKey(7), sample)["params"]
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x), t)
+
+    mesh2d = make_mesh_2d(jax.devices()[:4], data=2, graph=2)
+    se = jax.tree.map(jnp.asarray, partition_stacked_edges(batch, config, 2))
+    jbatch = jax.tree.map(jnp.asarray, batch)
+    step_ex = make_explicit_parallel_train_step(config, tx, lr_fn, mesh2d)
+    p_ex, _, _ = step_ex(copy(params), tx.init(copy(params)), jbatch, se, 0.0)
+
+    mesh1d = make_mesh(jax.devices()[:2])
+    step1d = make_parallel_train_step(config, net, tx, lr_fn, mesh1d)
+    p_1d, _, _ = step1d(copy(params), tx.init(copy(params)), batch, 0.0)
+
+    # Compare the UPDATES (p_new - p_old), not the params, so the shared
+    # initialization can't hide a scale error.
+    du_ex = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b), p_ex, params)
+    du_1d = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b), p_1d, params)
+    flat_ex = np.concatenate([x.ravel() for x in jax.tree.leaves(du_ex)])
+    flat_1d = np.concatenate([x.ravel() for x in jax.tree.leaves(du_1d)])
+    scale = np.linalg.norm(flat_ex) / max(np.linalg.norm(flat_1d), 1e-12)
+    assert abs(scale - 1.0) < 0.02, f"update-norm ratio {scale} (G-inflation?)"
+    np.testing.assert_allclose(flat_ex, flat_1d, rtol=2e-2, atol=2e-5)
+
+
+def test_partition_overflow_drops_not_raises(capsys):
+    """A shard-capacity overflow must degrade (drop + warn), not raise
+    mid-training."""
+    config = Config(pack=TINY)
+    batch = stack_packs(_flat_packs(config, 1))
+    # slack tiny enough that shard caps certainly overflow
+    se = partition_stacked_edges(batch, config, 2, slack=0.01)
+    out = capsys.readouterr().out
+    assert "dropped" in out, out
+    # the partition is still well-formed: every mask row has valid entries
+    for nm, e in se["graph"].items():
+        assert np.asarray(e.u).shape[-1] >= 1, nm
+
+
 def test_cli_explicit_graph_parallel(tmp_path):
     """`train --mesh 2x2` runs the explicit shard_map path end to end."""
     from lanegcn_tpu.cli import main
