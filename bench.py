@@ -74,29 +74,49 @@ def bench_pack_config(num_scen: int | None = None) -> PackConfig:
     # ~706 lane nodes/scenario measured; node capacity is the unit of work
     # for EVERY row op in the LaneConv stacks (ctr matmul, band layer, GN,
     # ctr2 — the profiled 60% of the step), so its headroom is the single
-    # most expensive padding knob. Measured: 1024/scen (69% occupancy)
-    # 1,061 scen/s → 832 (85%) 1,201 → 768 (92%) 1,245. At 256-scenario
-    # aggregation the per-pack node total concentrates within ~1% of the
-    # mean, so 768's ~9% headroom keeps drops at zero (asserted below).
-    node_cap = int(os.environ.get("BENCH_NODE_CAP", "768"))
+    # most expensive padding knob. Round 3: WINDOWED layout — nodes placed
+    # first-fit into 768-row windows (node_stride) so the overflow edges
+    # become per-window one-hot MXU matmuls (ops/pallas_scenario_agg)
+    # instead of gather + XLA scatter. Window count 17/16·s covers the
+    # alignment gaps (~4% measured); the classic edge lists shrink to the
+    # cross-window + budget spill (~15% of overflow edges).
+    stride = int(os.environ.get("BENCH_NODE_CAP", "768"))
+    windows = int(os.environ.get("BENCH_WINDOWS", str(-(-s * 17 // 16))))
+    if os.environ.get("BENCH_PLAN", "1") == "0":
+        # round-2 contiguous layout for A/B comparison
+        return PackConfig(
+            max_scenarios=s,
+            max_actors=16 * s,
+            max_nodes=stride * s,
+            max_edges_scale0=max(16 * s, 512),
+            max_edges_dilated=tuple(max(8 * (2 ** i) * s, 512) for i in range(1, 6)),
+            max_edges_lr=max(4 * s, 512),
+            max_a2m_edges=96 * s,
+            max_m2a_edges=96 * s,
+            max_a2a_edges=64 * s,
+            max_table_edges=1024 * s,
+        )
     return PackConfig(
         max_scenarios=s,
         max_actors=16 * s,
-        max_nodes=node_cap * s,
-        max_edges_scale0=max(16 * s, 512),
-        # Dilated fan at junctions doubles per scale (measured ≈ 6·2^i
-        # edges/scenario); per-scale capacity at ~1.3x headroom — a uniform
-        # capacity would make every scale pay scale 5's size and the
-        # scatter/gather paths process capacity, not valid count.
-        max_edges_dilated=tuple(max(8 * (2 ** i) * s, 512) for i in range(1, 6)),
-        max_edges_lr=max(4 * s, 512),
+        max_nodes=stride * windows,
+        node_stride=stride,
+        # left/right ride the plan too (table_relations=()): the table
+        # backward was a 262k-row sorted scatter per layer; as plan columns
+        # they cost one-hot matmul work only.
+        max_plan_edges=int(os.environ.get("BENCH_PLAN_EDGES", "2048")),
+        table_relations=(),
+        # Classic lists now carry only the spill (cross-window + over-budget
+        # residue); per-scale caps sized to measured spill + headroom.
+        max_edges_scale0=max(2 * s, 512),
+        max_edges_dilated=tuple(
+            max(f * (2 ** i) * s // 2, 512)
+            for f, i in zip((2, 2, 2, 2, 2), range(1, 6))
+        ),
+        max_edges_lr=max(32 * s, 512),
         max_a2m_edges=96 * s,
         max_m2a_edges=96 * s,
         max_a2a_edges=64 * s,
-        # ~765 tabled left/right edges per scenario measured; headroom to
-        # 1024 (the backward's sorted transpose scatter processes capacity,
-        # not valid count — the 2×max_nodes auto default wastes 2x).
-        max_table_edges=1024 * s,
     )
 
 
@@ -141,8 +161,13 @@ def occupancy(batch) -> dict:
     fusion = sum(
         int(np.sum(e.mask)) for e in (batch.fusion.a2m, batch.fusion.m2a, batch.fusion.a2a)
     )
+    planned = (
+        int(np.sum(np.asarray(batch.graph.plan_lu) >= 0))
+        if batch.graph.plan_lu is not None else 0
+    )
     return {
         "overflow": overflow, "banded": banded, "tabled": tabled, "fusion": fusion,
+        "planned": planned,
         "nodes_used": int(np.sum(batch.graph.node_mask)), "node_cap": n_cap,
     }
 
@@ -164,6 +189,8 @@ def count_edges(batch) -> int:
             n += int(np.sum(t < n_cap))
     for e in (batch.fusion.a2m, batch.fusion.m2a, batch.fusion.a2a):
         n += int(np.sum(e.mask))
+    if batch.graph.plan_lu is not None:
+        n += int(np.sum(np.asarray(batch.graph.plan_lu) >= 0))
     return n
 
 
@@ -195,13 +222,16 @@ def main():
         file=sys.stderr,
     )
     print(
-        f"# edge occupancy/pack: {occ['overflow']} overflow (irregular "
-        f"scatter), {occ['banded']} banded, {occ['tabled']} tabled, "
-        f"{occ['fusion']} fusion; nodes {occ['nodes_used']}/{occ['node_cap']} "
+        f"# edge occupancy/pack: {occ['planned']} planned (window one-hot), "
+        f"{occ['overflow']} overflow (irregular scatter), {occ['banded']} "
+        f"banded, {occ['tabled']} tabled, {occ['fusion']} fusion; nodes "
+        f"{occ['nodes_used']}/{occ['node_cap']} "
         f"({100.0 * occ['nodes_used'] / occ['node_cap']:.0f}% of capacity)",
         file=sys.stderr,
     )
-    assert occ["overflow"] > 0, "bench graphs must exercise the scatter path"
+    assert occ["overflow"] + occ["planned"] > 0, (
+        "bench graphs must exercise the irregular-edge path"
+    )
 
     # bf16 compute (params/normalization fp32): the production TPU config —
     # 3.4x over fp32 at this size; convergence parity covered by

@@ -39,6 +39,13 @@ class ModelConfig:
     # add + GN + relu + ctx_out) into one kernel so the [E, C]
     # intermediates never round-trip HBM.
     pallas_edge: str = "auto"
+    # Scenario-blocked overflow aggregation backend
+    # (ops/pallas_scenario_agg.py): consumes the packer's scenario edge plan
+    # (PackConfig.node_stride + max_plan_edges) and replaces the
+    # gather + per-relation matmul + XLA scatter per LaneConv layer with
+    # one-hot MXU matmuls per scenario. "auto" = Pallas on TPU, XLA
+    # reference elsewhere; "on"/"interpret"/"off" force.
+    scenario_agg: str = "auto"
 
     @property
     def num_relations(self) -> int:
@@ -86,6 +93,24 @@ class PackConfig:
     # left and one right neighbor). On overflow the packer demotes table
     # entries to the regular edge lists, so gradients stay exact either way.
     max_table_edges: int = 0
+    # WINDOWED node layout: nodes are placed window-aligned first-fit into
+    # fixed node_stride-row windows (a scenario lands inside one window when
+    # it fits; oversize scenarios straddle). Enables the window edge plan
+    # for ops/pallas_scenario_agg. Requires max_nodes % node_stride == 0.
+    # None ⇒ contiguous packing (round-1/2 layout). Density cost is the
+    # alignment gaps (~4-6% rows measured on urban packs at stride 768).
+    node_stride: int | None = None
+    # Per-window capacity of the window edge plan (overflow edges with both
+    # endpoints in one window, routed to ops/pallas_scenario_agg; cross-
+    # window edges and the residue past this budget stay in the classic
+    # per-relation edge lists). 0 ⇒ no plan. Requires node_stride.
+    max_plan_edges: int = 0
+    # Relations routed to per-node neighbor tables (pack_batch split_tables;
+    # left/right are functional so tables absorb them entirely). With the
+    # window plan enabled, () routes left/right through the plan instead —
+    # measured faster: the table backward was a 262k-row sorted scatter per
+    # layer, the plan adds only one-hot matmul columns.
+    table_relations: Tuple[str, ...] = ("left", "right")
 
     @property
     def table_edge_capacity(self) -> int:

@@ -310,7 +310,8 @@ def pack_batch(
     model_cfg: ModelConfig,
     split_bands: bool = True,
     split_tables: bool = True,
-    table_relations: Tuple[str, ...] = ("left", "right"),
+    table_relations: Tuple[str, ...] | None = None,
+    scenario_plan: bool = True,
 ) -> Tuple[PackedBatch, Dict[str, int]]:
     """Pack up to pack_cfg.max_scenarios scenarios; returns (batch, stats).
 
@@ -340,10 +341,28 @@ def pack_batch(
     acceptance checks and list collection; all index arithmetic happens on
     concatenated arrays (np.repeat of per-scenario offsets), and fusion
     threshold edges come precomputed from `precompute_fusion`.
+
+    scenario_plan: with pack_cfg.node_stride + max_plan_edges set, lay nodes
+    out STRIDED (scenario s owns rows [s*stride, (s+1)*stride)) and emit the
+    scenario edge plan for ops/pallas_scenario_agg — per-scenario local
+    (dst, src, relation) triples covering the overflow edges, with the
+    residue past each scenario's budget spilled back to the classic lists.
     """
     names = relation_names(model_cfg.num_scales)
+    if table_relations is None:
+        table_relations = pack_cfg.table_relations
+    if not table_relations:
+        split_tables = False
     b_cap = pack_cfg.max_scenarios
     a_cap, n_cap = pack_cfg.max_actors, pack_cfg.max_nodes
+    stride = pack_cfg.node_stride
+    if stride is not None:
+        assert n_cap % stride == 0, (
+            f"windowed layout requires max_nodes ({n_cap}) to be a "
+            f"multiple of node_stride ({stride})"
+        )
+    plan_cap = pack_cfg.max_plan_edges if (scenario_plan and stride) else 0
+    n_windows = (n_cap // stride) if stride else 0
     t_hist, t_pred = model_cfg.num_hist, model_cfg.num_preds
 
     stats = {"skipped_scenarios": 0, "packed_scenarios": 0}
@@ -353,9 +372,16 @@ def pack_batch(
     stats["cities"] = []
 
     # --- acceptance pass: pick scenarios that fit, assign offsets ---
+    # With node_stride: window-aligned first-fit — a scenario is placed in
+    # the current stride-window's remainder when it fits, else at the next
+    # window boundary, so most scenarios live inside ONE window (the
+    # scenario-plan kernel's locality unit) while density stays ~contiguous.
+    # Oversize scenarios (> stride nodes) still pack — they just straddle,
+    # and their cross-window edges spill to the classic lists.
     accepted: List[Dict] = []
     na_list: List[int] = []
     nn_list: List[int] = []
+    start_list: List[int] = []
     a_off = n_off = 0
     for scen in scenarios:
         if len(accepted) >= b_cap:
@@ -363,7 +389,12 @@ def pack_batch(
             continue
         cache = precompute_pack_cache(scen, model_cfg)
         na, nn = cache["na"], cache["nn"]
-        if na == 0 or a_off + na > a_cap or n_off + nn > n_cap:
+        start = n_off
+        if stride is not None and nn <= stride:
+            room = stride - (n_off % stride)
+            if nn > room:
+                start = n_off + room  # jump to the next window boundary
+        if na == 0 or a_off + na > a_cap or start + nn > n_cap:
             stats["skipped_scenarios"] += 1
             continue
         stats["seq_ids"].append(int(scen.get("seq_id", len(accepted))))
@@ -371,8 +402,9 @@ def pack_batch(
         accepted.append(cache)
         na_list.append(na)
         nn_list.append(nn)
+        start_list.append(start)
         a_off += na
-        n_off += nn
+        n_off = start + nn
     si = len(accepted)
     stats["packed_scenarios"] = si
     stats["num_actors"] = a_off
@@ -380,10 +412,9 @@ def pack_batch(
     na_arr = np.asarray(na_list, np.int64)
     nn_arr = np.asarray(nn_list, np.int64)
     a_offs = np.zeros(si, np.int64)
-    n_offs = np.zeros(si, np.int64)
+    n_offs = np.asarray(start_list, np.int64)
     if si:
         np.cumsum(na_arr[:-1], out=a_offs[1:])
-        np.cumsum(nn_arr[:-1], out=n_offs[1:])
 
     # --- vectorized assembly ---
     actor_feats = np.zeros((a_cap, t_hist, 3), np.float32)
@@ -409,7 +440,8 @@ def pack_batch(
     num_rel = len(names)
     t_a = 3 * t_hist  # actor_blob column boundaries
     if si:
-        A, N = a_off, n_off
+        A, N = a_off, int(nn_arr.sum())  # N = concatenated node rows (the
+        # packed span n_off additionally counts window-alignment gaps)
         ablob = np.concatenate([c["actor_blob"] for c in accepted])
         actor_feats[:A] = ablob[:, :t_a].reshape(A, t_hist, 3)
         actor_ctrs[:A] = ablob[:, t_a : t_a + 2]
@@ -419,13 +451,19 @@ def pack_batch(
         has_preds[:A] = ablob[:, t_a + 2 + 2 * t_pred :] > 0.5
 
         nblob = np.concatenate([c["node_blob"] for c in accepted])
-        node_ctrs[:N] = nblob[:, 0:2]
-        node_feats[:N] = nblob[:, 2:4]
-        node_turn[:N] = nblob[:, 4:6]
-        node_control[:N] = nblob[:, 6]
-        node_intersect[:N] = nblob[:, 7]
-        node_mask[:N] = True
-        node_scen[:N] = np.repeat(np.arange(si, dtype=np.int32), nn_arr)
+        # Destination row per concatenated node: contiguous, or strided by
+        # scenario (node_stride layout).
+        contig_starts = np.zeros(si, np.int64)
+        np.cumsum(nn_arr[:-1], out=contig_starts[1:])
+        node_add = np.repeat(n_offs, nn_arr)  # [N] pack-global offset per row
+        dst_rows = node_add + (np.arange(N, dtype=np.int64) - np.repeat(contig_starts, nn_arr))
+        node_ctrs[dst_rows] = nblob[:, 0:2]
+        node_feats[dst_rows] = nblob[:, 2:4]
+        node_turn[dst_rows] = nblob[:, 4:6]
+        node_control[dst_rows] = nblob[:, 6]
+        node_intersect[dst_rows] = nblob[:, 7]
+        node_mask[dst_rows] = True
+        node_scen[dst_rows] = np.repeat(np.arange(si, dtype=np.int32), nn_arr)
 
         meta = np.stack([c["meta"] for c in accepted])
         rot[:si] = meta[:, :4].reshape(si, 2, 2)
@@ -446,7 +484,6 @@ def pack_batch(
         )
         band_cat = np.concatenate([c["band_blob"] for c in accepted])  # [N, 2S]
         table_cat = np.concatenate([c["table_blob"] for c in accepted])  # [N, R]
-        node_add = np.repeat(n_offs, nn_arr)  # [N] pack-global offset per row
         # Fusion edges: u/v offset bases differ per relation (a2m, m2a, a2a).
         f_counts = np.stack([c["fus_counts"] for c in accepted])  # [S, 3]
         fu_add = np.stack([n_offs, a_offs, a_offs], axis=1)
@@ -464,6 +501,7 @@ def pack_batch(
         band_cat = np.zeros((0, 2 * model_cfg.num_scales), bool)
         table_cat = np.zeros((0, num_rel), np.int32)
         node_add = np.zeros(0, np.int64)
+        dst_rows = np.zeros(0, np.int64)
 
     bands = {} if split_bands else None
     tables = {} if split_tables else None
@@ -480,26 +518,25 @@ def pack_batch(
             j += 1
             if split_bands:
                 mask = np.zeros(n_cap, bool)
-                mask[: len(col)] = col
+                mask[dst_rows] = col
                 bands[nm] = mask
                 stats[f"banded_{nm}"] = int(col.sum())
             else:
                 # Reconstruct the full edge list (band edges stay within one
                 # scenario: v = u + shift along a contiguous lane run).
-                bu = np.nonzero(col)[0]
+                bu = dst_rows[col]
                 u = np.concatenate([u, bu])
                 v = np.concatenate([v, bu + shift])
         tcol = table_cat[:, r]
         tvalid = tcol >= 0
         if split_tables and nm in table_relations:
             tbl = np.full(n_cap, n_cap, np.int32)
-            tbl[: len(tcol)][tvalid] = tcol[tvalid] + node_add[tvalid]
+            tbl[dst_rows[tvalid]] = tcol[tvalid] + node_add[tvalid]
             tables[nm] = tbl
             stats[f"tabled_{nm}"] = int(tvalid.sum())
         else:
-            # Reconstruct table edges into the flat list (u = row index).
-            tu = np.nonzero(tvalid)[0]
-            u = np.concatenate([u, tu])
+            # Reconstruct table edges into the flat list (u = packed row).
+            u = np.concatenate([u, dst_rows[tvalid]])
             v = np.concatenate([v, tcol[tvalid] + node_add[tvalid]])
         pend[nm] = (u, v)
 
@@ -508,6 +545,59 @@ def pack_batch(
         table_inv = _build_table_inverse(
             tables, names, n_cap, pack_cfg.table_edge_capacity, pend, stats
         )
+
+    # Window edge plan: overflow edges whose endpoints share one
+    # stride-window become per-window local (dst, src, relation) triples for
+    # ops/pallas_scenario_agg; cross-window edges and the residue past a
+    # window's budget stay in the classic lists.
+    plan_lu = plan_lv = plan_rel = None
+    if plan_cap:
+        plan_lu = np.full((n_windows * plan_cap, 1), -1, np.int32)
+        plan_lv = np.full((n_windows * plan_cap, 1), -1, np.int32)
+        plan_rel = np.full((n_windows * plan_cap, 1), -1, np.int32)
+        # Plan admission order: functional/cheap relations first (left,
+        # right, low dilation scales) so a window's budget overflow spills
+        # the high-dilation scales — whose classic-list capacity exists
+        # anyway — rather than dropping left/right.
+        prio = sorted(
+            range(num_rel),
+            key=lambda r: (0 if names[r] in ("left", "right") else 1, names[r][3:]),
+        )
+        all_u = np.concatenate([pend[names[r]][0] for r in prio]).astype(np.int64)
+        all_v = np.concatenate([pend[names[r]][1] for r in prio]).astype(np.int64)
+        all_r = np.repeat(
+            np.asarray(prio, np.int32),
+            [len(pend[names[r]][0]) for r in prio],
+        )
+        stats["plan_edges"] = 0
+        stats["spilled_plan_edges"] = 0
+        if len(all_u):
+            w_u = all_u // stride
+            in_win = w_u == (all_v // stride)
+            iw = np.nonzero(in_win)[0]
+            order = iw[np.argsort(w_u[iw], kind="stable")]
+            w_sorted = w_u[order]
+            cnt = np.bincount(w_sorted, minlength=n_windows)
+            starts = np.zeros(n_windows, np.int64)
+            np.cumsum(cnt[:-1], out=starts[1:])
+            pos = np.arange(len(order), dtype=np.int64) - np.repeat(starts, cnt)
+            fit = pos < plan_cap
+            sel = order[fit]
+            slots = (w_sorted * plan_cap + pos)[fit]
+            plan_lu[slots, 0] = all_u[sel] % stride
+            plan_lv[slots, 0] = all_v[sel] % stride
+            plan_rel[slots, 0] = all_r[sel]
+            keep = np.zeros(len(all_u), bool)
+            keep[sel] = True
+            stats["plan_edges"] = int(keep.sum())
+            stats["spilled_plan_edges"] = int((~keep).sum())
+            su, sv, sr = all_u[~keep], all_v[~keep], all_r[~keep]
+            for r2, nm in enumerate(names):
+                m = sr == r2
+                pend[nm] = (su[m], sv[m])
+        else:
+            for nm in names:
+                pend[nm] = (np.zeros(0, np.int64), np.zeros(0, np.int64))
 
     edges = {}
     for nm in names:
@@ -550,6 +640,10 @@ def pack_batch(
             bands=bands,
             tables=tables,
             table_inv=table_inv,
+            plan_lu=plan_lu,
+            plan_lv=plan_lv,
+            plan_rel=plan_rel,
+            plan_scen=n_windows if plan_cap else 0,
         ),
         fusion=fusion,
         gt_preds=gt_preds,

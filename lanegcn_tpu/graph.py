@@ -104,6 +104,19 @@ class LaneGraphBatch:
     # by v so the transpose scatter-add runs with indices_are_sorted. Built
     # by the packer together with `tables`; padding rows carry v = N (drop).
     table_inv: EdgeSet | None = None
+    # Scenario edge plan (ops/pallas_scenario_agg): with the packer's
+    # STRIDED node layout (PackConfig.node_stride), the overflow edges are
+    # re-expressed per scenario in local coordinates — plan_lu/plan_lv are
+    # [S*ECAP, 1] int32 scenario-local destination/source rows (-1 padding)
+    # and plan_rel the relation id. The model aggregates them with one-hot
+    # MXU matmuls per scenario instead of gather + XLA scatter; edges past a
+    # scenario's ECAP budget stay in `edges`. None ⇒ no plan.
+    plan_lu: jax.Array | None = None
+    plan_lv: jax.Array | None = None
+    plan_rel: jax.Array | None = None
+    # Static scenario count of the plan (= PackConfig.max_scenarios); aux
+    # metadata, not a pytree leaf — the kernel grid needs it at trace time.
+    plan_scen: int = struct.field(pytree_node=False, default=0)
 
     @property
     def capacity(self) -> int:

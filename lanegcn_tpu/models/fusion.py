@@ -41,7 +41,7 @@ from lanegcn_tpu.models.layers import (
     LinearParams,
     SplitLinear,
 )
-from lanegcn_tpu.models.map_net import LaneConvStack
+from lanegcn_tpu.models.map_net import LaneConvStack, _graph_plan
 from lanegcn_tpu.ops import masked_gather, scatter_add
 from lanegcn_tpu.ops.pallas_edge_mlp import fused_edge_mlp
 from lanegcn_tpu.ops.table_gather import sorted_transpose_gather
@@ -199,7 +199,8 @@ class M2M(nn.Module):
     def __call__(self, nodes: jax.Array, graph: LaneGraphBatch) -> jax.Array:
         return LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="fuse"
-        )(nodes, graph.edges, graph.bands, graph.tables, graph.table_inv)
+        )(nodes, graph.edges, graph.bands, graph.tables, graph.table_inv,
+          plan=_graph_plan(graph))
 
 
 class M2A(nn.Module):

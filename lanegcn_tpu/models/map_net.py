@@ -29,7 +29,16 @@ from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch
 from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear, torch_uniform_init
 from lanegcn_tpu.ops import masked_gather, scatter_add
 from lanegcn_tpu.ops.pallas_lane_layer import fused_lane_layer
+from lanegcn_tpu.ops.pallas_scenario_agg import scenario_aggregate
 from lanegcn_tpu.ops.table_gather import stacked_table_gather
+
+
+
+def _graph_plan(graph):
+    """(lu, lv, rel, num_scen) when the pack carries a scenario edge plan."""
+    if getattr(graph, "plan_lu", None) is None:
+        return None
+    return (graph.plan_lu, graph.plan_lv, graph.plan_rel, graph.plan_scen)
 
 
 class LaneConvStack(nn.Module):
@@ -47,6 +56,18 @@ class LaneConvStack(nn.Module):
             return jax.default_backend() in ("tpu", "axon")
         return mode in ("on", "interpret")
 
+    def _scen_agg_mode(self) -> str:
+        """Backend for the scenario edge plan (ops/pallas_scenario_agg):
+        "on"/"interpret" = Pallas kernel, "xla" = reference formulation.
+        Planned edges are always aggregated — "off" only disables the
+        Pallas kernel, it cannot drop edges."""
+        mode = self.cfg.scenario_agg
+        if mode == "auto":
+            return "on" if jax.default_backend() in ("tpu", "axon") else "xla"
+        if mode in ("on", "interpret"):
+            return mode
+        return "xla"
+
     @nn.compact
     def __call__(
         self,
@@ -55,6 +76,7 @@ class LaneConvStack(nn.Module):
         bands: Dict[str, jax.Array] | None = None,
         tables: Dict[str, jax.Array] | None = None,
         table_inv: EdgeSet | None = None,
+        plan: tuple | None = None,  # (lu, lv, rel, num_scen) scenario plan
     ) -> jax.Array:
         """bands: optional per-relation [N] bool masks of intra-lane edges
         (v = u + band_shift(nm)); applied as a masked roll — one vector op
@@ -160,6 +182,18 @@ class LaneConvStack(nn.Module):
                 mask=jnp.concatenate(msks),
                 out=temp,
             )
+            if plan is not None:
+                # Scenario edge plan: the bulk of the overflow edges as
+                # one-hot MXU matmuls per scenario (the lists above carry
+                # only the spill residue). See ops/pallas_scenario_agg.
+                lu, lv, rel_ids, num_scen = plan
+                temp = scenario_aggregate(
+                    feat.astype(self.dtype),
+                    temp,
+                    w_rel.astype(self.dtype),
+                    lu, lv, rel_ids, num_scen,
+                    mode=self._scen_agg_mode(),
+                )
 
             if fused:
                 # Fully-fused layer: the 12 band matmuls + GN → ReLU →
@@ -249,4 +283,5 @@ class MapNet(nn.Module):
 
         return LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="fuse"
-        )(feat, graph.edges, graph.bands, graph.tables, graph.table_inv)
+        )(feat, graph.edges, graph.bands, graph.tables, graph.table_inv,
+          plan=_graph_plan(graph))

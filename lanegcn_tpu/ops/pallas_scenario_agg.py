@@ -1,0 +1,249 @@
+"""Scenario-blocked overflow-edge aggregation: gather + relation transform +
+scatter as dense one-hot MXU matmuls, one Pallas grid step per scenario.
+
+The LaneConv overflow edges (duplicate-destination / cross-junction residue
+after band+table splitting — reference lanegcn.py:329-362 runs ONE CUDA
+`index_add_` per relation for all of this) are strictly scenario-local:
+every (u, v) connects nodes of one scenario. With the packer's STRIDED node
+layout (scenario s owns rows [s*stride, (s+1)*stride) — data/packing.py
+`node_stride`), the whole irregular aggregation becomes, per scenario,
+
+    out_win += S_u @ (Σ_r mask_r ⊙ (G_v @ feat_win) @ W_r)
+
+where G_v [E, W] / S_u [W, E] are one-hot matrices of the scenario-local
+source/destination indices. Every term is an MXU matmul on VMEM-resident
+blocks; the [E, C] messages never touch HBM and there is NO scatter op.
+
+Why: XLA's TPU scatter executes rows serially (~14 ns/row measured); the
+in-step overflow path (gather 1.3 ms + per-relation matmuls + scatter
+3.8 ms per layer at 264k-edge capacity) dominated the train step. This
+kernel measured 2.66 ms vs 6.16 ms for the XLA formulation at bench shapes
+(256 scenarios x 896-edge plan, stride 768, C=128), before the backward
+savings (the VJP's transpose scatter was another 4-5 ms/layer).
+
+Plan arrays (built by data/packing.py alongside the pack):
+  lu, lv, rel: [S*ECAP, 1] int32 — scenario-local destination row, source
+  row, and relation id per planned edge; -1 marks padding. Edges beyond a
+  scenario's ECAP budget spill to the classic per-relation edge lists.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+def _onehot(idx_col: jax.Array, width: int, dtype) -> jax.Array:
+    """[E, 1] int32 → [E, width] one-hot (0/1 exact in bf16/f32)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (idx_col.shape[0], width), 1)
+    return (idx_col == iota).astype(dtype)
+
+
+# Edges are processed in chunks of ≤ _CHUNK inside one grid step so the
+# one-hot matrices ([chunk, stride]) stay VMEM-small at large plan budgets.
+_CHUNK = 1024
+
+
+def _fwd_kernel(num_rel, feat_ref, temp_ref, lu_ref, lv_ref, rel_ref, w_ref, out_ref):
+    win = feat_ref[:]  # [stride, C]
+    dt = win.dtype
+    stride, c = win.shape
+    ecap = lu_ref.shape[0]
+    out = temp_ref[:].astype(jnp.float32)
+    for c0 in range(0, ecap, _CHUNK):
+        c1 = min(c0 + _CHUNK, ecap)
+        lv = lv_ref[c0:c1]  # [chunk, 1]
+        lu = lu_ref[c0:c1]
+        rel = rel_ref[c0:c1]
+        gath = jnp.dot(
+            _onehot(lv, stride, dt), win, preferred_element_type=jnp.float32
+        ).astype(dt)  # [chunk, C]
+        msg = jnp.zeros((gath.shape[0], c), jnp.float32)
+        for r in range(num_rel):
+            m = (rel == r).astype(dt)
+            msg += jnp.dot(gath * m, w_ref[r], preferred_element_type=jnp.float32)
+        # Scatter one-hot: S_u[w, e] = [lu[e] == w].
+        s_u = (
+            jnp.transpose(lu)
+            == jax.lax.broadcasted_iota(jnp.int32, (stride, lu.shape[0]), 0)
+        ).astype(dt)
+        out += jnp.dot(s_u, msg.astype(dt), preferred_element_type=jnp.float32)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel(
+    num_rel, feat_ref, g_ref, lu_ref, lv_ref, rel_ref, w_ref, dfeat_ref, dw_ref
+):
+    win = feat_ref[:]
+    g_win = g_ref[:]
+    dt = win.dtype
+    stride = win.shape[0]
+    ecap = lu_ref.shape[0]
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    dfeat = jnp.zeros(win.shape, jnp.float32)
+    for c0 in range(0, ecap, _CHUNK):
+        c1 = min(c0 + _CHUNK, ecap)
+        lv = lv_ref[c0:c1]
+        lu = lu_ref[c0:c1]
+        rel = rel_ref[c0:c1]
+        # d_msg[e] = g[lu[e]] — gather one-hot on the destination side.
+        d_msg = jnp.dot(
+            _onehot(lu, stride, dt), g_win, preferred_element_type=jnp.float32
+        ).astype(dt)
+        gath = jnp.dot(
+            _onehot(lv, stride, dt), win, preferred_element_type=jnp.float32
+        ).astype(dt)
+        d_gath = jnp.zeros(gath.shape, jnp.float32)
+        for r in range(num_rel):
+            m = (rel == r).astype(dt)
+            d_msg_r = d_msg * m
+            # dW_r += gath_rᵀ @ d_msg_r (contract the edge axis).
+            dw_ref[r] += jax.lax.dot_general(
+                gath * m,
+                d_msg_r,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # d_gath_r = d_msg_r @ W_rᵀ.
+            d_gath += jax.lax.dot_general(
+                d_msg_r,
+                w_ref[r],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        # d_win += G_vᵀ @ d_gath — scatter one-hot on the source side.
+        s_v = (
+            jnp.transpose(lv)
+            == jax.lax.broadcasted_iota(jnp.int32, (stride, lv.shape[0]), 0)
+        ).astype(dt)
+        dfeat += jnp.dot(s_v, d_gath.astype(dt), preferred_element_type=jnp.float32)
+    dfeat_ref[:] = dfeat.astype(dfeat_ref.dtype)
+
+
+def _geometry(n: int, ecap_total: int, num_scen: int):
+    assert n % num_scen == 0 and ecap_total % num_scen == 0, (n, ecap_total, num_scen)
+    return n // num_scen, ecap_total // num_scen
+
+
+def _pallas_fwd(num_scen, interpret, feat, temp, w_rel, lu, lv, rel):
+    n, c = feat.shape
+    stride, ecap = _geometry(n, lu.shape[0], num_scen)
+    r = w_rel.shape[0]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, r),
+        out_shape=jax.ShapeDtypeStruct((n, c), temp.dtype),
+        grid=(num_scen,),
+        in_specs=[
+            pl.BlockSpec((stride, c), lambda s: (s, 0)),
+            pl.BlockSpec((stride, c), lambda s: (s, 0)),
+            pl.BlockSpec((ecap, 1), lambda s: (s, 0)),
+            pl.BlockSpec((ecap, 1), lambda s: (s, 0)),
+            pl.BlockSpec((ecap, 1), lambda s: (s, 0)),
+            pl.BlockSpec((r, c, c), lambda s: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((stride, c), lambda s: (s, 0)),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(feat, temp, lu, lv, rel, w_rel)
+
+
+def _pallas_bwd(num_scen, interpret, feat, g, w_rel, lu, lv, rel):
+    n, c = feat.shape
+    stride, ecap = _geometry(n, lu.shape[0], num_scen)
+    r = w_rel.shape[0]
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, r),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, c), feat.dtype),
+            jax.ShapeDtypeStruct((r, c, c), jnp.float32),
+        ),
+        grid=(num_scen,),
+        in_specs=[
+            pl.BlockSpec((stride, c), lambda s: (s, 0)),
+            pl.BlockSpec((stride, c), lambda s: (s, 0)),
+            pl.BlockSpec((ecap, 1), lambda s: (s, 0)),
+            pl.BlockSpec((ecap, 1), lambda s: (s, 0)),
+            pl.BlockSpec((ecap, 1), lambda s: (s, 0)),
+            pl.BlockSpec((r, c, c), lambda s: (0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((stride, c), lambda s: (s, 0)),
+            pl.BlockSpec((r, c, c), lambda s: (0, 0, 0)),
+        ),
+        interpret=interpret,
+    )(feat, g, lu, lv, rel, w_rel)
+
+
+def xla_reference(feat, temp, w_rel, lu, lv, rel, num_scen: int):
+    """Differentiable XLA formulation of the same contraction (CPU fallback
+    and the parity oracle for the Pallas kernels)."""
+    n, c = feat.shape
+    stride, ecap = _geometry(n, lu.shape[0], num_scen)
+    base = jnp.repeat(jnp.arange(num_scen, dtype=jnp.int32) * stride, ecap)
+    lu_f = lu[:, 0]
+    lv_f = lv[:, 0]
+    rel_f = rel[:, 0]
+    valid = lu_f >= 0
+    u_glob = jnp.where(valid, lu_f + base, n)
+    v_glob = jnp.where(valid, lv_f + base, 0)
+    src = jnp.take(feat, v_glob, axis=0)
+    src = jnp.where(valid[:, None], src, 0)
+    msg = jnp.zeros((lu.shape[0], c), jnp.float32)
+    for r in range(w_rel.shape[0]):
+        m = (rel_f == r)[:, None]
+        msg += jnp.where(
+            m, jnp.dot(src, w_rel[r], preferred_element_type=jnp.float32), 0
+        )
+    out = jnp.zeros((n, c), jnp.float32).at[u_glob].add(msg, mode="drop")
+    return temp + out.astype(temp.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _scenario_agg_p(feat, temp, w_rel, lu, lv, rel, num_scen, interpret):
+    return _pallas_fwd(num_scen, interpret, feat, temp, w_rel, lu, lv, rel)
+
+
+def _agg_fwd(feat, temp, w_rel, lu, lv, rel, num_scen, interpret):
+    out = _pallas_fwd(num_scen, interpret, feat, temp, w_rel, lu, lv, rel)
+    return out, (feat, w_rel, lu, lv, rel)
+
+
+def _agg_bwd(num_scen, interpret, res, g):
+    feat, w_rel, lu, lv, rel = res
+    dfeat, dw = _pallas_bwd(num_scen, interpret, feat, g, w_rel, lu, lv, rel)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dfeat, g, dw.astype(w_rel.dtype), f0(lu), f0(lv), f0(rel))
+
+
+_scenario_agg_p.defvjp(_agg_fwd, _agg_bwd)
+
+
+def scenario_aggregate(
+    feat: jax.Array,  # [N, C] node features (strided layout)
+    temp: jax.Array,  # [N, C] accumulator (result = temp + aggregate)
+    w_rel: jax.Array,  # [R, C, C] per-relation weights
+    lu: jax.Array,  # [S*ECAP, 1] int32 scenario-local destinations (-1 pad)
+    lv: jax.Array,  # [S*ECAP, 1] int32 scenario-local sources
+    rel: jax.Array,  # [S*ECAP, 1] int32 relation ids
+    num_scen: int,
+    mode: str = "on",  # "on" | "interpret" | "xla"
+) -> jax.Array:
+    """temp + Σ planned edges W_rel[rel] · feat[src] scattered to dst.
+
+    Gradients flow to feat, temp, and w_rel (hand-written VJP; both
+    directions are scenario-blocked Pallas kernels — no XLA scatter).
+    """
+    if mode == "xla":
+        return xla_reference(feat, temp, w_rel, lu, lv, rel, num_scen)
+    return _scenario_agg_p(
+        feat, temp, w_rel, lu, lv, rel, int(num_scen), mode == "interpret"
+    )

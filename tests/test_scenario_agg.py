@@ -1,0 +1,191 @@
+"""Scenario-blocked overflow aggregation (ops/pallas_scenario_agg) + the
+strided-packer plan: kernel parity (interpret mode) against the XLA
+reference, gradient parity of the hand-written VJP, packer invariants, and
+full-model loss equivalence between the contiguous and strided layouts."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lanegcn_tpu.config import Config, ModelConfig, PackConfig, relation_names
+from lanegcn_tpu.data import make_synthetic_scenario, pack_batch
+from lanegcn_tpu.ops.pallas_scenario_agg import scenario_aggregate, xla_reference
+
+S, STRIDE, C, ECAP, R = 4, 64, 128, 64, 14
+N = S * STRIDE
+
+
+def _random_case(seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+    feat = jnp.asarray(rng.randn(N, C) * 0.1, dtype)
+    temp = jnp.asarray(rng.randn(N, C) * 0.1, dtype)
+    w = jnp.asarray(rng.randn(R, C, C) * 0.05, dtype)
+    lu = np.full((S, ECAP), -1, np.int32)
+    lv = np.full((S, ECAP), -1, np.int32)
+    rel = np.full((S, ECAP), -1, np.int32)
+    for s in range(S):
+        k = rng.randint(10, ECAP)  # ragged valid counts, padding after
+        lu[s, :k] = rng.randint(0, 50, k)
+        lv[s, :k] = rng.randint(0, 50, k)
+        rel[s, :k] = rng.randint(0, R, k)
+    args = (
+        feat, temp, w,
+        jnp.asarray(lu.reshape(-1, 1)),
+        jnp.asarray(lv.reshape(-1, 1)),
+        jnp.asarray(rel.reshape(-1, 1)),
+    )
+    return args
+
+
+def test_forward_parity_interpret_vs_xla():
+    args = _random_case(0)
+    out_k = scenario_aggregate(*args, num_scen=S, mode="interpret")
+    out_x = scenario_aggregate(*args, num_scen=S, mode="xla")
+    np.testing.assert_allclose(
+        np.asarray(out_k, np.float32), np.asarray(out_x, np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_forward_empty_plan():
+    feat, temp, w, lu, lv, rel = _random_case(1)
+    lu = jnp.full_like(lu, -1)
+    lv = jnp.full_like(lv, -1)
+    rel = jnp.full_like(rel, -1)
+    out = scenario_aggregate(feat, temp, w, lu, lv, rel, num_scen=S, mode="interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(temp), atol=1e-6)
+
+
+def test_gradient_parity_interpret_vs_xla():
+    args = _random_case(2)
+
+    def loss(mode):
+        def f(feat, temp, w):
+            out = scenario_aggregate(
+                feat, temp, w, *args[3:], num_scen=S, mode=mode
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    g_k = jax.grad(loss("interpret"), argnums=(0, 1, 2))(*args[:3])
+    g_x = jax.grad(loss("xla"), argnums=(0, 1, 2))(*args[:3])
+    for a, b, nm in zip(g_k, g_x, ("feat", "temp", "w")):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-4, atol=2e-4, err_msg=nm,
+        )
+
+
+def _pack_cfgs():
+    base = dict(
+        max_scenarios=4, max_actors=48,
+        max_edges_scale0=512, max_edges_dilated=768, max_edges_lr=128,
+        max_a2m_edges=768, max_m2a_edges=768, max_a2a_edges=256,
+    )
+    contig = PackConfig(max_nodes=4 * 384, **base)
+    # window-aligned first-fit needs headroom for alignment jumps
+    strided = PackConfig(
+        max_nodes=6 * 384, node_stride=384, max_plan_edges=256, **base
+    )
+    return contig, strided
+
+
+def _scens(n=4):
+    return [
+        make_synthetic_scenario(seed=100 + i, num_corridors=2, num_actors=6)
+        for i in range(n)
+    ]
+
+
+def test_windowed_pack_invariants():
+    contig_cfg, strided_cfg = _pack_cfgs()
+    stride = strided_cfg.node_stride
+    mc = ModelConfig()
+    scens = _scens()
+    b_c, st_c = pack_batch(scens, contig_cfg, mc)
+    b_s, st_s = pack_batch(scens, strided_cfg, mc)
+    assert st_s["packed_scenarios"] == st_c["packed_scenarios"]
+    # plan + classic lists account for every overflow edge
+    classic_valid = sum(int(np.sum(e.mask)) for e in b_s.graph.edges.values())
+    total_c = sum(int(np.sum(e.mask)) for e in b_c.graph.edges.values())
+    plan_valid = int(np.sum(np.asarray(b_s.graph.plan_lu) >= 0))
+    assert plan_valid + classic_valid == total_c, (plan_valid, classic_valid, total_c)
+    assert st_s["plan_edges"] == plan_valid
+    assert b_s.graph.plan_scen == strided_cfg.max_nodes // stride
+    # planned edges connect real nodes of the same scenario within a window
+    lu = np.asarray(b_s.graph.plan_lu).reshape(b_s.graph.plan_scen, -1)
+    lv = np.asarray(b_s.graph.plan_lv).reshape(b_s.graph.plan_scen, -1)
+    rl = np.asarray(b_s.graph.plan_rel)[:, 0]
+    mask = np.asarray(b_s.graph.node_mask)
+    node_scen = np.asarray(b_s.graph.node_scen)
+    for w in range(b_s.graph.plan_scen):
+        valid = lu[w] >= 0
+        if not valid.any():
+            continue
+        u_glob = w * stride + lu[w][valid]
+        v_glob = w * stride + lv[w][valid]
+        assert mask[u_glob].all() and mask[v_glob].all()
+        assert (node_scen[u_glob] == node_scen[v_glob]).all()
+    valid = np.asarray(b_s.graph.plan_lu)[:, 0] >= 0
+    assert (rl[valid] >= 0).all() and (
+        rl[valid] < len(relation_names(mc.num_scales))
+    ).all()
+
+
+@pytest.mark.parametrize("agg_mode", ["xla", "interpret"])
+def test_model_loss_matches_contiguous_layout(agg_mode):
+    """Same scenarios, strided+plan pack vs contiguous pack: identical loss
+    and metrics through the full LaneGCN net (row layout is internal)."""
+    from lanegcn_tpu.models.lanegcn import LaneGCN, agent_metrics, pred_loss
+
+    contig_cfg, strided_cfg = _pack_cfgs()
+    mc = dataclasses.replace(ModelConfig(), scenario_agg=agg_mode)
+    config = Config(pack=contig_cfg, model=mc)
+    scens = _scens()
+    b_c, _ = pack_batch(scens, contig_cfg, mc)
+    b_s, _ = pack_batch(scens, strided_cfg, mc)
+    net = LaneGCN(mc)
+    b_c = jax.tree.map(jnp.asarray, b_c)
+    b_s = jax.tree.map(jnp.asarray, b_s)
+    params = net.init(jax.random.PRNGKey(0), b_c)["params"]
+
+    def run(batch):
+        out = net.apply({"params": params}, batch)
+        losses = pred_loss(out, batch, config.loss)
+        m = agent_metrics(out, batch)
+        return float(losses["loss"]), float(m["ade_sum"])
+
+    loss_c, ade_c = run(b_c)
+    loss_s, ade_s = run(b_s)
+    np.testing.assert_allclose(loss_s, loss_c, rtol=1e-5)
+    np.testing.assert_allclose(ade_s, ade_c, rtol=1e-5)
+
+
+def test_grad_matches_contiguous_layout():
+    """Parameter gradients agree between layouts (plan VJP correctness in
+    the full model)."""
+    from lanegcn_tpu.models.lanegcn import LaneGCN, pred_loss
+
+    contig_cfg, strided_cfg = _pack_cfgs()
+    mc = dataclasses.replace(ModelConfig(), scenario_agg="interpret")
+    config = Config(pack=contig_cfg, model=mc)
+    scens = _scens()
+    b_c, _ = pack_batch(scens, contig_cfg, mc)
+    b_s, _ = pack_batch(scens, strided_cfg, mc)
+    net = LaneGCN(mc)
+    b_c = jax.tree.map(jnp.asarray, b_c)
+    b_s = jax.tree.map(jnp.asarray, b_s)
+    params = net.init(jax.random.PRNGKey(1), b_c)["params"]
+
+    def loss_fn(p, batch):
+        out = net.apply({"params": p}, batch)
+        return pred_loss(out, batch, config.loss)["loss"]
+
+    g_c = jax.grad(loss_fn)(params, b_c)
+    g_s = jax.grad(loss_fn)(params, b_s)
+    flat_c = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g_c)])
+    flat_s = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g_s)])
+    np.testing.assert_allclose(flat_s, flat_c, rtol=5e-4, atol=5e-5)

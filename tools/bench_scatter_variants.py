@@ -49,7 +49,7 @@ def timed(name, fn, *args, iters=20):
 
 def main():
     config = Config(pack=bench_pack_config())
-    batches, _ = make_batches(config, 1, config.pack.max_scenarios)
+    batches, _, _ = make_batches(config, 1, config.pack.max_scenarios)
     g = batches[0].graph
     names = relation_names(config.model.num_scales)
     n = g.ctrs.shape[0]
