@@ -45,38 +45,50 @@ def _onehot(idx_col: jax.Array, width: int, dtype) -> jax.Array:
 
 # Edges are processed in chunks of ≤ _CHUNK inside one grid step so the
 # one-hot matrices ([chunk, stride]) stay VMEM-small at large plan budgets.
-_CHUNK = 1024
+_CHUNK = 512
 
 
-def _fwd_kernel(num_rel, feat_ref, temp_ref, lu_ref, lv_ref, rel_ref, w_ref, out_ref):
+def _fwd_kernel(
+    num_rel, nch_ref, feat_ref, temp_ref, lu_ref, lv_ref, rel_ref, w_ref, out_ref
+):
     win = feat_ref[:]  # [stride, C]
     dt = win.dtype
     stride, c = win.shape
     ecap = lu_ref.shape[0]
-    out = temp_ref[:].astype(jnp.float32)
-    for c0 in range(0, ecap, _CHUNK):
+    s = pl.program_id(0)
+    out_ref[:] = temp_ref[:]
+    # Valid plan slots are prefix-dense per window (the packer fills them in
+    # admission order), so whole all-padding chunks are skipped via the
+    # prefetched per-window chunk count — plan occupancy stops costing MXU
+    # time.
+    for ck, c0 in enumerate(range(0, ecap, _CHUNK)):
         c1 = min(c0 + _CHUNK, ecap)
-        lv = lv_ref[c0:c1]  # [chunk, 1]
-        lu = lu_ref[c0:c1]
-        rel = rel_ref[c0:c1]
-        gath = jnp.dot(
-            _onehot(lv, stride, dt), win, preferred_element_type=jnp.float32
-        ).astype(dt)  # [chunk, C]
-        msg = jnp.zeros((gath.shape[0], c), jnp.float32)
-        for r in range(num_rel):
-            m = (rel == r).astype(dt)
-            msg += jnp.dot(gath * m, w_ref[r], preferred_element_type=jnp.float32)
-        # Scatter one-hot: S_u[w, e] = [lu[e] == w].
-        s_u = (
-            jnp.transpose(lu)
-            == jax.lax.broadcasted_iota(jnp.int32, (stride, lu.shape[0]), 0)
-        ).astype(dt)
-        out += jnp.dot(s_u, msg.astype(dt), preferred_element_type=jnp.float32)
-    out_ref[:] = out.astype(out_ref.dtype)
+
+        @pl.when(ck < nch_ref[s])
+        def _(c0=c0, c1=c1):
+            lv = lv_ref[c0:c1]  # [chunk, 1]
+            lu = lu_ref[c0:c1]
+            rel = rel_ref[c0:c1]
+            gath = jnp.dot(
+                _onehot(lv, stride, dt), win, preferred_element_type=jnp.float32
+            ).astype(dt)  # [chunk, C]
+            msg = jnp.zeros((gath.shape[0], c), jnp.float32)
+            for r in range(num_rel):
+                m = (rel == r).astype(dt)
+                msg += jnp.dot(gath * m, w_ref[r], preferred_element_type=jnp.float32)
+            # Scatter one-hot: S_u[w, e] = [lu[e] == w].
+            s_u = (
+                jnp.transpose(lu)
+                == jax.lax.broadcasted_iota(jnp.int32, (stride, lu.shape[0]), 0)
+            ).astype(dt)
+            out_ref[:] = (
+                out_ref[:].astype(jnp.float32)
+                + jnp.dot(s_u, msg.astype(dt), preferred_element_type=jnp.float32)
+            ).astype(out_ref.dtype)
 
 
 def _bwd_kernel(
-    num_rel, feat_ref, g_ref, lu_ref, lv_ref, rel_ref, w_ref, dfeat_ref, dw_ref
+    num_rel, nch_ref, feat_ref, g_ref, lu_ref, lv_ref, rel_ref, w_ref, dfeat_ref, dw_ref
 ):
     win = feat_ref[:]
     g_win = g_ref[:]
@@ -89,44 +101,49 @@ def _bwd_kernel(
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    dfeat = jnp.zeros(win.shape, jnp.float32)
-    for c0 in range(0, ecap, _CHUNK):
+    dfeat_ref[:] = jnp.zeros(win.shape, dfeat_ref.dtype)
+    for ck, c0 in enumerate(range(0, ecap, _CHUNK)):
         c1 = min(c0 + _CHUNK, ecap)
-        lv = lv_ref[c0:c1]
-        lu = lu_ref[c0:c1]
-        rel = rel_ref[c0:c1]
-        # d_msg[e] = g[lu[e]] — gather one-hot on the destination side.
-        d_msg = jnp.dot(
-            _onehot(lu, stride, dt), g_win, preferred_element_type=jnp.float32
-        ).astype(dt)
-        gath = jnp.dot(
-            _onehot(lv, stride, dt), win, preferred_element_type=jnp.float32
-        ).astype(dt)
-        d_gath = jnp.zeros(gath.shape, jnp.float32)
-        for r in range(num_rel):
-            m = (rel == r).astype(dt)
-            d_msg_r = d_msg * m
-            # dW_r += gath_rᵀ @ d_msg_r (contract the edge axis).
-            dw_ref[r] += jax.lax.dot_general(
-                gath * m,
-                d_msg_r,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # d_gath_r = d_msg_r @ W_rᵀ.
-            d_gath += jax.lax.dot_general(
-                d_msg_r,
-                w_ref[r],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        # d_win += G_vᵀ @ d_gath — scatter one-hot on the source side.
-        s_v = (
-            jnp.transpose(lv)
-            == jax.lax.broadcasted_iota(jnp.int32, (stride, lv.shape[0]), 0)
-        ).astype(dt)
-        dfeat += jnp.dot(s_v, d_gath.astype(dt), preferred_element_type=jnp.float32)
-    dfeat_ref[:] = dfeat.astype(dfeat_ref.dtype)
+
+        @pl.when(ck < nch_ref[s])
+        def _(c0=c0, c1=c1):
+            lv = lv_ref[c0:c1]
+            lu = lu_ref[c0:c1]
+            rel = rel_ref[c0:c1]
+            # d_msg[e] = g[lu[e]] — gather one-hot on the destination side.
+            d_msg = jnp.dot(
+                _onehot(lu, stride, dt), g_win, preferred_element_type=jnp.float32
+            ).astype(dt)
+            gath = jnp.dot(
+                _onehot(lv, stride, dt), win, preferred_element_type=jnp.float32
+            ).astype(dt)
+            d_gath = jnp.zeros(gath.shape, jnp.float32)
+            for r in range(num_rel):
+                m = (rel == r).astype(dt)
+                # dW_r += (gath ⊙ m_r)ᵀ @ d_msg — relation masks are
+                # row-disjoint, so masking one side suffices.
+                dw_ref[r] += jax.lax.dot_general(
+                    gath * m,
+                    d_msg,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # d_gath_r = (d_msg ⊙ m_r) @ W_rᵀ.
+                d_gath += jax.lax.dot_general(
+                    d_msg * m,
+                    w_ref[r],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            # d_win += G_vᵀ @ d_gath — scatter one-hot on the source side.
+            s_v = (
+                jnp.transpose(lv)
+                == jax.lax.broadcasted_iota(jnp.int32, (stride, lv.shape[0]), 0)
+            ).astype(dt)
+            dfeat_ref[:] = (
+                dfeat_ref[:].astype(jnp.float32)
+                + jnp.dot(s_v, d_gath.astype(dt), preferred_element_type=jnp.float32)
+            ).astype(dfeat_ref.dtype)
 
 
 def _geometry(n: int, ecap_total: int, num_scen: int):
@@ -134,53 +151,73 @@ def _geometry(n: int, ecap_total: int, num_scen: int):
     return n // num_scen, ecap_total // num_scen
 
 
+def _num_chunks(lu, num_scen, ecap):
+    """Per-window chunk count: valid slots are prefix-dense, so
+    ceil(valid / _CHUNK) bounds the work; whole-padding chunks are skipped
+    in-kernel via scalar prefetch."""
+    valid = jnp.sum((lu >= 0).reshape(num_scen, ecap), axis=1)
+    return ((valid + _CHUNK - 1) // _CHUNK).astype(jnp.int32)
+
+
 def _pallas_fwd(num_scen, interpret, feat, temp, w_rel, lu, lv, rel):
+    from jax.experimental.pallas import tpu as pltpu
+
     n, c = feat.shape
     stride, ecap = _geometry(n, lu.shape[0], num_scen)
     r = w_rel.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_scen,),
+        in_specs=[
+            pl.BlockSpec((stride, c), lambda s, nch: (s, 0)),
+            pl.BlockSpec((stride, c), lambda s, nch: (s, 0)),
+            pl.BlockSpec((ecap, 1), lambda s, nch: (s, 0)),
+            pl.BlockSpec((ecap, 1), lambda s, nch: (s, 0)),
+            pl.BlockSpec((ecap, 1), lambda s, nch: (s, 0)),
+            pl.BlockSpec((r, c, c), lambda s, nch: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((stride, c), lambda s, nch: (s, 0)),
+    )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, r),
         out_shape=jax.ShapeDtypeStruct((n, c), temp.dtype),
-        grid=(num_scen,),
-        in_specs=[
-            pl.BlockSpec((stride, c), lambda s: (s, 0)),
-            pl.BlockSpec((stride, c), lambda s: (s, 0)),
-            pl.BlockSpec((ecap, 1), lambda s: (s, 0)),
-            pl.BlockSpec((ecap, 1), lambda s: (s, 0)),
-            pl.BlockSpec((ecap, 1), lambda s: (s, 0)),
-            pl.BlockSpec((r, c, c), lambda s: (0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((stride, c), lambda s: (s, 0)),
-        input_output_aliases={1: 0},
+        grid_spec=grid_spec,
+        input_output_aliases={2: 0},
         interpret=interpret,
-    )(feat, temp, lu, lv, rel, w_rel)
+    )(_num_chunks(lu, num_scen, ecap), feat, temp, lu, lv, rel, w_rel)
 
 
 def _pallas_bwd(num_scen, interpret, feat, g, w_rel, lu, lv, rel):
+    from jax.experimental.pallas import tpu as pltpu
+
     n, c = feat.shape
     stride, ecap = _geometry(n, lu.shape[0], num_scen)
     r = w_rel.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_scen,),
+        in_specs=[
+            pl.BlockSpec((stride, c), lambda s, nch: (s, 0)),
+            pl.BlockSpec((stride, c), lambda s, nch: (s, 0)),
+            pl.BlockSpec((ecap, 1), lambda s, nch: (s, 0)),
+            pl.BlockSpec((ecap, 1), lambda s, nch: (s, 0)),
+            pl.BlockSpec((ecap, 1), lambda s, nch: (s, 0)),
+            pl.BlockSpec((r, c, c), lambda s, nch: (0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((stride, c), lambda s, nch: (s, 0)),
+            pl.BlockSpec((r, c, c), lambda s, nch: (0, 0, 0)),
+        ),
+    )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, r),
         out_shape=(
             jax.ShapeDtypeStruct((n, c), feat.dtype),
             jax.ShapeDtypeStruct((r, c, c), jnp.float32),
         ),
-        grid=(num_scen,),
-        in_specs=[
-            pl.BlockSpec((stride, c), lambda s: (s, 0)),
-            pl.BlockSpec((stride, c), lambda s: (s, 0)),
-            pl.BlockSpec((ecap, 1), lambda s: (s, 0)),
-            pl.BlockSpec((ecap, 1), lambda s: (s, 0)),
-            pl.BlockSpec((ecap, 1), lambda s: (s, 0)),
-            pl.BlockSpec((r, c, c), lambda s: (0, 0, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((stride, c), lambda s: (s, 0)),
-            pl.BlockSpec((r, c, c), lambda s: (0, 0, 0)),
-        ),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(feat, g, lu, lv, rel, w_rel)
+    )(_num_chunks(lu, num_scen, ecap), feat, g, lu, lv, rel, w_rel)
 
 
 def xla_reference(feat, temp, w_rel, lu, lv, rel, num_scen: int):
