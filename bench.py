@@ -61,6 +61,19 @@ PEAK_BF16_FLOPS = {
     "TPU v6e": 918e12,
 }
 
+# Peak HBM bandwidth by device kind (public figures, bytes/s). The roofline
+# that BINDS for this workload: the compiled program's bytes-accessed (XLA
+# cost analysis on the post-fusion HLO — each fusion charges only operands +
+# outputs, i.e. its real HBM traffic) divided by this bandwidth is the
+# floor step time; pct_of_bw_roofline = floor / measured.
+PEAK_HBM_BW = {
+    "TPU v4": 1228e9,
+    "TPU v5e": 819e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5p": 2765e9,
+    "TPU v6e": 1638e9,
+}
+
 
 def bench_pack_config(num_scen: int | None = None) -> PackConfig:
     # Packs of BENCH_SCEN urban scenarios (junction grammar: forks, merges,
@@ -273,36 +286,59 @@ def main():
         file=sys.stderr,
     )
 
-    # MFU estimate from the compiled program's own FLOP count (XLA cost
-    # analysis) against the chip's dense bf16 peak.
+    # Roofline from the compiled program's own cost analysis: HBM
+    # bytes-accessed against peak bandwidth (the roofline that binds for
+    # this gather/scatter workload — docs/PERFORMANCE.md "Roofline"), plus
+    # the dense-MFU estimate for context.
     mfu_pct = None
+    bw_roofline_pct = None
     try:
         lowered = train_step.lower(params, opt_state, batches[0], 0.0)
-        flops = lowered.compile().cost_analysis()["flops"]
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = ca["flops"]
+        byts = ca.get("bytes accessed", 0.0)
         kind = jax.devices()[0].device_kind
         peak = next(
             (v for k, v in PEAK_BF16_FLOPS.items() if k.lower() in kind.lower()),
             197e12,
         )
-        mfu_pct = 100.0 * flops * (iters / dt) / peak
+        bw = next(
+            (v for k, v in PEAK_HBM_BW.items() if k.lower() in kind.lower()),
+            819e9,
+        )
+        step_t = dt / iters
+        mfu_pct = 100.0 * flops / step_t / peak
+        if byts:
+            floor = byts / bw
+            bw_roofline_pct = 100.0 * floor / step_t
+            print(
+                f"# roofline: {byts/1e9:.1f} GB/step @ {bw/1e9:.0f} GB/s "
+                f"→ bw floor {floor*1e3:.1f} ms vs measured "
+                f"{step_t*1e3:.1f} ms = {bw_roofline_pct:.0f}% of the "
+                f"HBM-bandwidth roofline",
+                file=sys.stderr,
+            )
         print(
             f"# cost analysis: {flops/1e9:.1f} GFLOP/step on {kind} → "
-            f"~{mfu_pct:.1f}% MFU (dense-peak roofline; the workload is "
-            f"gather/scatter-bound, see docs/PERFORMANCE.md)",
+            f"~{mfu_pct:.1f}% MFU (dense-peak, context only)",
             file=sys.stderr,
         )
     except Exception as e:  # cost analysis is backend-dependent
         print(f"# cost analysis unavailable: {e}", file=sys.stderr)
-    # Optional: inference throughput (reference val pass: 39,472 scen in
-    # ~59-70 s on 4 GPUs ≈ 600 scen/s aggregate — misc/train_log.txt).
-    # Off by default: the eval program compiles slowly on this backend and
-    # the driver's bench run must stay fast.
-    if os.environ.get("BENCH_INFER") == "1":
+    # Inference/val throughput (reference val pass: 39,472 scen in ~59-70 s
+    # on 4 GPUs ≈ 600 scen/s aggregate — misc/train_log.txt). Always on
+    # since round 3; disable with BENCH_INFER=0.
+    infer_per_s = None
+    if os.environ.get("BENCH_INFER", "1") != "0":
         from lanegcn_tpu.train.loop import make_eval_step
 
         eval_step = make_eval_step(config, net)
+        t0 = time.time()
         out, m = eval_step(params, batches[0])
         _ = float(m["loss"])
+        print(f"# eval compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
         t0 = time.time()
         for i in range(iters):
             out, m = eval_step(params, batches[i % num_batches])
@@ -363,6 +399,10 @@ def main():
     }
     if e2e_per_s is not None:
         result["e2e_scen_per_sec"] = round(e2e_per_s, 1)
+    if infer_per_s is not None:
+        result["infer_scen_per_sec"] = round(infer_per_s, 1)
+    if bw_roofline_pct is not None:
+        result["pct_of_bw_roofline"] = round(bw_roofline_pct, 1)
     if mfu_pct is not None:
         result["mfu_pct_est"] = round(mfu_pct, 2)
     print(json.dumps(result))

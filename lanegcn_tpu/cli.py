@@ -41,17 +41,19 @@ def _parse_data(spec: str, model: str = "lanegcn"):
 
 
 def _make_loader(dataset, config, model: str, **kw):
-    """Model-family-aware loader: LaneRCNN uses the RoI packer."""
+    """Model-family-aware loader: LaneRCNN uses the RoI packer. A `packer`
+    in kw (e.g. the explicit graph-parallel pack+partition) wins."""
     from lanegcn_tpu.data.dataset import PackedLoader
 
     if model == "lanercnn":
         from lanegcn_tpu.data.packing_roi import pack_roi_batch
 
-        packer = lambda scens, cfg: pack_roi_batch(scens, cfg.roi_pack, cfg.model)
-        return PackedLoader(
-            dataset, config, packer=packer,
-            scen_per_pack=config.roi_pack.max_scenarios, **kw,
+        kw.setdefault(
+            "packer",
+            lambda scens, cfg: pack_roi_batch(scens, cfg.roi_pack, cfg.model),
         )
+        kw.setdefault("scen_per_pack", config.roi_pack.max_scenarios)
+        return PackedLoader(dataset, config, **kw)
     return PackedLoader(dataset, config, **kw)
 
 
@@ -192,25 +194,42 @@ def cmd_train(args):
     graph_n_req = _parse_mesh(args.mesh)[1] if args.mesh else 1
     explicit_gp = (
         graph_n_req > 1
-        and args.model == "lanegcn"
+        and args.model in ("lanegcn", "lanercnn")
         and getattr(args, "graph_parallel", "explicit") == "explicit"
     )
     loader_kw = {}
     if explicit_gp:
-        from lanegcn_tpu.data.packing import pack_batch
-        from lanegcn_tpu.parallel import partition_pack_edges
-
         # Pack AND partition edges per pack inside the loader workers so the
         # step loop stays host-work-free (the pure-Python partition loop
         # would otherwise starve the device on the multi-chip path).
-        def _pack_and_partition(scens, cfg):
-            batch, stats = pack_batch(
-                scens, cfg.pack, cfg.model, split_bands=False, split_tables=False
-            )
-            se = partition_pack_edges(
-                batch, cfg, graph_n_req, slack=args.edge_shard_slack
-            )
-            return (batch, se), stats
+        if args.model == "lanercnn":
+            from lanegcn_tpu.data.packing_roi import pack_roi_batch
+            from lanegcn_tpu.parallel import partition_roi_pack_edges
+
+            def _pack_and_partition(scens, cfg):
+                batch, stats = pack_roi_batch(
+                    scens, cfg.roi_pack, cfg.model,
+                    split_bands=False, split_tables=False,
+                )
+                se = partition_roi_pack_edges(
+                    batch, cfg, graph_n_req, slack=args.edge_shard_slack
+                )
+                return (batch, se), stats
+
+        else:
+            from lanegcn_tpu.data.packing import pack_batch
+            from lanegcn_tpu.parallel import partition_pack_edges
+
+            def _pack_and_partition(scens, cfg):
+                batch, stats = pack_batch(
+                    scens, cfg.pack, cfg.model,
+                    split_bands=False, split_tables=False,
+                    scenario_plan=False,
+                )
+                se = partition_pack_edges(
+                    batch, cfg, graph_n_req, slack=args.edge_shard_slack
+                )
+                return (batch, se), stats
 
         loader_kw["packer"] = _pack_and_partition
     loader = _make_loader(
@@ -235,7 +254,16 @@ def cmd_train(args):
             f"data mesh axis {data_n} must be a multiple of process count {pc}"
         )
         mesh = make_mesh_2d(data=data_n, graph=graph_n)
-        if explicit_gp:
+        if explicit_gp and args.model == "lanercnn":
+            rp = config.roi_pack
+            n_glob = rp.max_global_nodes or rp.max_roi_nodes
+            assert (
+                rp.max_roi_nodes % graph_n == 0 and n_glob % graph_n == 0
+            ), (
+                f"RoI pack capacities (roi nodes {rp.max_roi_nodes}, global "
+                f"nodes {n_glob}) must divide the graph axis {graph_n}"
+            )
+        elif explicit_gp:
             n_act = config.pack.max_actors * config.pack.max_scenarios
             assert config.pack.max_nodes % graph_n == 0 and n_act % graph_n == 0, (
                 f"pack capacities (nodes {config.pack.max_nodes}, actors "
@@ -339,9 +367,17 @@ def cmd_train(args):
             config, net, tx, lr_fn, bundle.loss_fn, bundle.metrics_fn
         )
     elif explicit_gp:
-        from lanegcn_tpu.parallel import make_explicit_parallel_train_step
+        from lanegcn_tpu.parallel import (
+            make_explicit_parallel_roi_train_step,
+            make_explicit_parallel_train_step,
+        )
 
-        _raw_step = make_explicit_parallel_train_step(
+        make_ex = (
+            make_explicit_parallel_roi_train_step
+            if args.model == "lanercnn"
+            else make_explicit_parallel_train_step
+        )
+        _raw_step = make_ex(
             config, tx, lr_fn, mesh, bundle.loss_fn, bundle.metrics_fn
         )
         train_step = lambda p, o, b, e: _raw_step(p, o, b[0], b[1], e)

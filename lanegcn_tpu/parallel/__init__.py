@@ -8,8 +8,10 @@ no explicit collectives or broadcasts in user code.
 """
 
 from lanegcn_tpu.parallel.graph_parallel import (  # noqa: F401
+    make_explicit_parallel_roi_train_step,
     make_explicit_parallel_train_step,
     partition_pack_edges,
+    partition_roi_pack_edges,
     partition_stacked_edges,
     sharded_edge_specs,
     stack_pack_edges,

@@ -334,3 +334,243 @@ def make_explicit_parallel_train_step(
         check_vma=False,
     )
     return jax.jit(shard_fn, donate_argnums=(0, 1))
+
+
+# ---------------------------------------------------------------------------
+# LaneRCNN explicit graph-parallel path (reference trains LaneRCNN
+# distributed via horovod / torch DDP — train_lanercnn.py,
+# train_lrcnn_torch.py:119-124; here the RoI-node and global-node row sets
+# shard over the mesh "graph" axis with the same edge-partitioned kernels
+# the LaneGCN path uses).
+# ---------------------------------------------------------------------------
+
+
+def partition_roi_pack_edges(
+    batch, config: Config, num_shards: int, slack: float = 2.0
+) -> Dict:
+    """Host-side: partition ONE flat RoiPackedBatch's edges for the explicit
+    shard_map step. The LOCAL endpoint per edge family:
+
+      roi relations  v (source)    — roi-node rows [M]
+      global rels    v (source)    — global-node rows [N]
+      a2m            v (dest!)     — roi-node rows (sources are the small
+                                     replicated agent array, so partitioning
+                                     by destination makes the scatter
+                                     shard-local with zero communication)
+      r2g            v (source)    — roi-node rows
+      g2r            v (source)    — global-node rows
+
+    a2r (decode) stays replicated — Decode runs replicated on the gathered
+    RoI features. Returns leading axes [G, cap] + "dropped_edges"."""
+    m_cap = batch.node_feats.shape[0]
+    n_cap = batch.graph.ctrs.shape[0]
+    dropped_total = 0
+
+    def one(e: EdgeSet, n_src: int, swap: bool = False) -> EdgeSet:
+        nonlocal dropped_total
+        # swap: partition by u instead of v (u becomes shard-local).
+        u, v = (e.v, e.u) if swap else (e.u, e.v)
+        cap = shard_edge_capacity(e.u.shape[-1], num_shards, slack)
+        su, sv, sm, dropped = _partition_one(
+            EdgeSet(u=u, v=v, mask=e.mask), n_src, num_shards, cap
+        )
+        dropped_total += dropped
+        if swap:
+            su, sv = sv, su
+        return EdgeSet(u=su, v=sv, mask=sm)
+
+    out: Dict = {"roi": {}, "global": {}}
+    for nm, e in batch.edges.items():
+        out["roi"][nm] = one(e, m_cap)
+    for nm, e in batch.graph.edges.items():
+        out["global"][nm] = one(e, n_cap)
+    # a2m: u → RoI rows (context), v → roi-node rows (dest). Partition so V
+    # becomes local: _partition_one localizes the v slot, so feed it as-is.
+    out["a2m"] = one(batch.a2m, m_cap)
+    out["r2g"] = one(batch.r2g, m_cap)
+    out["g2r"] = one(batch.g2r, n_cap)
+    out["dropped_edges"] = dropped_total
+    return out
+
+
+def _pool_apply_sharded(
+    p: Dict,
+    ctx_local: jax.Array,  # [Cn/G, C] context features (sharded rows)
+    ctx_pose_local: jax.Array,  # [Cn/G, 4]
+    tgt_local: jax.Array,  # [Tn/G, C] target features (sharded rows)
+    tgt_pose_full: jax.Array,  # [Tn, 4] (replicated — from the batch)
+    e: EdgeSet,  # v → local ctx rows, u → global tgt rows
+    num_tgt: int,
+    axis: str,
+):
+    """One LanePooling stage (models/lanercnn.py:82-148) with context and
+    target rows sharded over `axis`; edges partitioned by context (source)
+    shard. Communication: one psum_scatter of the per-edge message partial
+    sums — the same pattern as _att_apply_sharded."""
+    n = tgt_local.shape[-1]
+    from lanegcn_tpu.ops import masked_gather, scatter_add
+
+    d = masked_gather(tgt_pose_full, e.u, e.mask)
+    d = (
+        jnp.where(e.mask[:, None], masked_gather(ctx_pose_local, e.v, e.mask), 0)
+        - jnp.where(e.mask[:, None], d, 0)
+    )
+    dist = jax.nn.relu(
+        jnp.dot(d, p["relpose"]["kernel"]) + p["relpose"]["bias"]
+    )
+    k_ch = p["ctx_hidden"]["linear"]["kernel"]
+    cg = masked_gather(jnp.dot(ctx_local, k_ch[:n]), e.v, e.mask)
+    z = cg + jnp.dot(dist, k_ch[n:])
+    ctx = jax.nn.relu(
+        group_norm(
+            z,
+            p["ctx_hidden"]["norm"]["weight"],
+            p["ctx_hidden"]["norm"]["bias"],
+            1,
+        )
+    )
+    ctx = jnp.dot(ctx, p["ctx_out"]["kernel"])
+    partial = scatter_add(ctx, e.u, num_tgt, mask=e.mask)
+    msgs_local = jax.lax.psum_scatter(partial, axis, scatter_dimension=0, tiled=True)
+
+    tgt = jnp.dot(tgt_local, p["input"]["kernel"]) + msgs_local
+    tgt = jax.nn.relu(group_norm(tgt, p["norm"]["weight"], p["norm"]["bias"], 1))
+    tgt = _linear_gn(p["mlp1"], tgt)
+    tgt = _linear_gn(p["mlp2"], tgt, act=False)
+    return jax.nn.relu(tgt + tgt_local)
+
+
+def _lanercnn_forward_local(params, pack, se, cfg, sid, num_shards: int, axis: str):
+    """Per-device LaneRCNN forward on its roi-node / global-node row slices;
+    Decode runs replicated on the all_gather'd RoI features and returns the
+    full outputs. Mirrors models/lanercnn.py LaneRCNN.__call__."""
+    from lanegcn_tpu.models.lanercnn import Decode
+    from lanegcn_tpu.ops import masked_gather, scatter_add
+
+    mcfg = cfg.model
+    names = relation_names(mcfg.num_scales)
+    m_cap = pack.node_feats.shape[0]
+    n_cap = pack.graph.ctrs.shape[0]
+    m_loc = m_cap // num_shards
+    n_loc = n_cap // num_shards
+
+    # LaneInput: map embed on local roi-node rows; agent features are small
+    # and replicated; the a2m scatter is shard-local (edges partitioned by
+    # destination).
+    pi = params["input"]
+    nf_loc = _rows(pack.node_feats, sid, m_loc)
+    feat = jnp.dot(nf_loc, pi["map_fc"]["kernel"])
+    agt = jnp.dot(pack.agent_feat, pi["agt_fc"]["kernel"])
+    ea = se["a2m"]
+    msg = masked_gather(agt, ea.u, ea.mask)
+    feat = scatter_add(msg, ea.v, m_loc, mask=ea.mask, out=feat)
+    feat = jax.nn.relu(group_norm(feat, pi["bn"]["weight"], pi["bn"]["bias"], 1))
+
+    def roi_stack(pp, x):
+        x = _linear_gn(pp["input"], x)
+        for i in range(mcfg.num_fuse_layers):
+            x = _lane_conv_layer_sharded(
+                x, se["roi"], _extract_layer_params(pp["fuse"], i), names, m_cap, axis
+            )
+        return x
+
+    feat = roi_stack(params["roi_net1"], feat)
+
+    # Interactor: global-graph embed on local rows, pooling both ways,
+    # global LaneConv stack — all sharded.
+    it = params["interactor"]
+    g_ctrs_loc = _rows(pack.graph.ctrs, sid, n_loc)
+    g_feats_loc = _rows(pack.graph.feats, sid, n_loc)
+    emb = _linear_gn(it["input_out"], jax.nn.relu(_dense_p(it["input_dense"], g_ctrs_loc)), act=False)
+    seg = _linear_gn(it["seg_out"], jax.nn.relu(_dense_p(it["seg_dense"], g_feats_loc)), act=False)
+    graph_feat0 = jax.nn.relu(emb + seg)
+
+    roi_pose_loc = nf_loc[:, :4]
+    graph_pose_full = jnp.concatenate([pack.graph.ctrs, pack.graph.feats], axis=-1)
+    roi_pose_full = pack.node_feats[:, :4]
+
+    graph_feat = _pool_apply_sharded(
+        it["roi2graph"], feat, roi_pose_loc, graph_feat0, graph_pose_full,
+        se["r2g"], n_cap, axis,
+    )
+    for i in range(mcfg.num_fuse_layers):
+        graph_feat = _lane_conv_layer_sharded(
+            graph_feat, se["global"], _extract_layer_params(it["global_graph"], i),
+            names, n_cap, axis,
+        )
+    graph_pose_loc = jnp.concatenate([g_ctrs_loc, g_feats_loc], axis=-1)
+    feat = _pool_apply_sharded(
+        it["graph2roi"], graph_feat, graph_pose_loc, feat, roi_pose_full,
+        se["g2r"], m_cap, axis,
+    )
+
+    feat = roi_stack(params["roi_net2"], feat)
+
+    # Decode replicated on the gathered RoI features (runs once per step —
+    # its work is interest-node sized, far below the per-layer stacks).
+    roi_full = jax.lax.all_gather(feat, axis, tiled=True)
+    logits, goals, trajs = Decode(mcfg).apply(
+        {"params": params["decode"]}, roi_full, pack
+    )
+    return {
+        "pred_logics": logits.astype(jnp.float32),
+        "pred_goals": goals.astype(jnp.float32),
+        "pred_trajs": trajs.astype(jnp.float32),
+    }
+
+
+def make_explicit_parallel_roi_train_step(
+    config: Config, tx, lr_fn, mesh: Mesh, loss_fn, metrics_fn
+):
+    """jit(shard_map) LaneRCNN train step over a (data × graph) mesh.
+
+    fn(params, opt_state, batch[D, ...], sharded_edges, epoch) →
+    (params, opt_state, metrics). Same gradient semantics as
+    make_explicit_parallel_train_step: pmean over "graph" (the replicated
+    Decode/loss path's cotangents are G-fold summed by all_gather's VJP),
+    pmean over "data"."""
+    guard = config.train.nan_guard
+    num_shards = mesh.shape["graph"]
+
+    def per_device(params, opt_state, batch, sharded_edges, epoch):
+        pack = jax.tree.map(lambda x: jnp.squeeze(x, 0), batch)
+        se = jax.tree.map(lambda x: jnp.squeeze(jnp.squeeze(x, 0), 0), sharded_edges)
+        sid = jax.lax.axis_index("graph")
+
+        def objective(p):
+            out = _lanercnn_forward_local(
+                p, pack, se, config, sid, num_shards, "graph"
+            )
+            losses = loss_fn(out, pack, config.loss)
+            m = dict(losses)
+            m.update(metrics_fn(out, pack))
+            return losses["loss"], m
+
+        (_, metrics), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        grads = jax.tree.map(
+            lambda x: jax.lax.pmean(jax.lax.pmean(x, "graph"), "data"), grads
+        )
+        loss_mean = jax.lax.pmean(metrics["loss"], "data")
+        metrics = {
+            k: (jax.lax.psum(v, "data") if k != "loss" else loss_mean)
+            for k, v in metrics.items()
+        }
+        lr = lr_fn(epoch)
+        if guard:
+            params, opt_state, ok = guarded_optimizer_step(
+                tx, params, grads, opt_state, lr, loss_mean
+            )
+            metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
+        else:
+            params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
+        metrics["lr"] = lr
+        return params, opt_state, metrics
+
+    shard_fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data", "graph"), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn, donate_argnums=(0, 1))

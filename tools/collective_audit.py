@@ -199,6 +199,103 @@ def main():
     print(f"   GSPMD graph-axis overhead vs pure DP: +{dgc} collectives, +{dgb/1e6:.3f} MB")
     print(f"   explicit kernels would spend:          {sum(exp_counts.values())} collectives, {exp_bytes/1e6:.3f} MB")
 
+    # 5. FULL explicit LaneGCN train step (the shipped --mesh DxG program).
+    from lanegcn_tpu.parallel import (
+        make_explicit_parallel_train_step,
+        partition_stacked_edges,
+    )
+
+    flat = stack_packs([
+        pack_batch(
+            [make_synthetic_scenario(seed=60 + 10 * d + i, num_corridors=2, num_actors=5)
+             for i in range(2)],
+            config.pack, config.model,
+            split_bands=False, split_tables=False, scenario_plan=False,
+        )[0]
+        for d in range(2)
+    ])
+    se = jax.tree.map(jnp.asarray, partition_stacked_edges(flat, config, 2))
+    fsample = jax.tree.map(lambda x: jnp.asarray(x[0]), flat)
+    fparams = net.init(jax.random.PRNGKey(0), fsample)["params"]
+    ex_step = make_explicit_parallel_train_step(config, tx, lr_fn, mesh2d)
+    cex = ex_step.lower(
+        fparams, tx.init(fparams), jax.tree.map(jnp.asarray, flat), se, 0.0
+    ).compile()
+    report("EXPLICIT full train step, mesh (data=2, graph=2) [shipped]", cex)
+
+
+def lanercnn_audit():
+    """Same comparison for LaneRCNN: GSPMD-inferred (data=2, graph=2) vs the
+    explicit shard_map RoI step (reference distributed LaneRCNN training:
+    train_lanercnn.py, train_lrcnn_torch.py:119-124)."""
+    from lanegcn_tpu.config import RoiPackConfig
+    from lanegcn_tpu.data.lane_roi import generate_lane_rois
+    from lanegcn_tpu.data.packing_roi import pack_roi_batch
+    from lanegcn_tpu.models.registry import get_model
+    from lanegcn_tpu.parallel import (
+        make_explicit_parallel_roi_train_step,
+        partition_roi_pack_edges,
+        stack_pack_edges,
+    )
+
+    roi_pack = RoiPackConfig(
+        max_scenarios=2, max_rois=8, max_roi_nodes=768, max_interest_nodes=256,
+        max_global_nodes=512, max_edges_scale0=512, max_edges_dilated=512,
+        max_edges_lr=512, max_a2m_edges=256, max_pool_edges=2048,
+        max_a2r_edges=512,
+    )
+    config = Config(roi_pack=roi_pack)
+    bundle = get_model("lanercnn", config)
+    config = bundle.config
+    tx, lr_fn = make_optimizer(config.train)
+
+    def roi_packs(split):
+        out = []
+        for d in range(2):
+            scens = [
+                generate_lane_rois(make_synthetic_scenario(
+                    seed=300 + 10 * d + i, num_corridors=1, num_actors=4))
+                for i in range(2)
+            ]
+            out.append(pack_roi_batch(
+                scens, config.roi_pack, config.model,
+                split_bands=split, split_tables=split,
+            )[0])
+        return out
+
+    mesh2d = make_mesh_2d(jax.devices()[:4], data=2, graph=2)
+    batch = stack_packs(roi_packs(True))
+    sample = jax.tree.map(lambda x: jnp.asarray(x[0]), batch)
+    params = bundle.net.init(jax.random.PRNGKey(2), sample)["params"]
+    step = make_parallel_train_step(
+        config, bundle.net, tx, lr_fn, mesh2d,
+        loss_fn=bundle.loss_fn, metrics_fn=bundle.metrics_fn,
+        batch_shardings=graph_batch_shardings(mesh2d, batch),
+    )
+    c = step.lower(params, tx.init(params), batch, 0.0).compile()
+    g = report("LaneRCNN GSPMD train step, mesh (data=2, graph=2)", c)
+
+    flat_packs = roi_packs(False)
+    se = stack_pack_edges([partition_roi_pack_edges(p, config, 2) for p in flat_packs])
+    se = jax.tree.map(jnp.asarray, se)
+    flat = stack_packs(flat_packs)
+    fparams = bundle.net.init(
+        jax.random.PRNGKey(2), jax.tree.map(lambda x: jnp.asarray(x[0]), flat)
+    )["params"]
+    ex = make_explicit_parallel_roi_train_step(
+        config, tx, lr_fn, mesh2d, bundle.loss_fn, bundle.metrics_fn
+    )
+    cex = ex.lower(
+        fparams, tx.init(fparams), jax.tree.map(jnp.asarray, flat), se, 0.0
+    ).compile()
+    gex = report("LaneRCNN EXPLICIT train step, mesh (data=2, graph=2) [shipped]", cex)
+    print("\n== lanercnn summary")
+    print(f"   GSPMD:    {sum(g[0].values())} collectives, {g[1]/1e6:.3f} MB")
+    print(f"   explicit: {sum(gex[0].values())} collectives, {gex[1]/1e6:.3f} MB")
+
 
 if __name__ == "__main__":
-    main()
+    if "lanercnn" in sys.argv[1:]:
+        lanercnn_audit()
+    else:
+        main()
