@@ -561,10 +561,9 @@ def cmd_eval(args):
         # param tree (utils/torch_import.py name/layout table).
         from lanegcn_tpu.utils.torch_import import load_torch_checkpoint
 
-        if args.model != "lanegcn":
-            raise SystemExit("--torch-weight supports the lanegcn model")
         params = jax.tree.map(
-            jnp.asarray, load_torch_checkpoint(args.torch_weight, config.model)
+            jnp.asarray,
+            load_torch_checkpoint(args.torch_weight, config.model, args.model),
         )
         print(f"imported torch checkpoint {args.torch_weight}")
     elif args.weight:

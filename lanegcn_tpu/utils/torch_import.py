@@ -176,6 +176,72 @@ def lanegcn_table(cfg: ModelConfig) -> List[Entry]:
     return entries
 
 
+
+
+def _pooling(t: str, f: Tuple[str, ...]) -> List[Entry]:
+    """Reference LanePooling (lanercnn.py:433-514) → our models.lanercnn
+    LanePooling. The ctx MLP consumes concat([ctx_feat, dist_feat])
+    (lanercnn.py:499) — our SplitLinear ``ctx_hidden`` holds the same
+    [2C, C] kernel in that segment order."""
+    return (
+        _dense(f"{t}.input", f + ("input",), bias=False)
+        + _dense(f"{t}.relpose.0", f + ("relpose",))
+        + _linear_block(f"{t}.ctx.0", f + ("ctx_hidden",))
+        + _dense(f"{t}.ctx.1", f + ("ctx_out",), bias=False)
+        + _linear_block(f"{t}.mlp.0", f + ("mlp1",))
+        + _linear_block(f"{t}.mlp.1", f + ("mlp2",))
+        + _norm(f"{t}.norm", f + ("norm",))
+    )
+
+
+def lanercnn_table(cfg: ModelConfig) -> List[Entry]:
+    """Full LaneRCNN Net mapping (reference lanercnn.py:85-119 module tree:
+    input → roi_net1 → interactor → roi_net2 → decode)."""
+    entries: List[Entry] = []
+
+    # LaneInput (lanercnn.py:280-351).
+    entries.append(("input.map_fc.weight", ("input", "map_fc", "kernel"), _LIN, None))
+    entries.append(("input.agt_fc.weight", ("input", "agt_fc", "kernel"), _LIN, None))
+    entries += _norm("input.bn", ("input", "bn"))
+
+    # roi_net1 / roi_net2 (lanercnn.py:354-430): input Linear + fuse stack.
+    for mod in ("roi_net1", "roi_net2"):
+        entries += _linear_block(f"{mod}.input", (mod, "input"))
+        entries += _fuse_stack(
+            f"{mod}.fuse", (mod, "fuse"), cfg.num_scales, cfg.num_fuse_layers
+        )
+
+    # Interactor (lanercnn.py:603-642): embeds + 2 poolings + global stack.
+    entries += _dense("interactor.input.0", ("interactor", "input_dense"))
+    entries += _linear_block("interactor.input.2", ("interactor", "input_out"))
+    entries += _dense("interactor.seg.0", ("interactor", "seg_dense"))
+    entries += _linear_block("interactor.seg.2", ("interactor", "seg_out"))
+    entries += _pooling("interactor.roi2graph", ("interactor", "roi2graph"))
+    entries += _fuse_stack(
+        "interactor.global_graph_net.fuse", ("interactor", "global_graph"),
+        cfg.num_scales, cfg.num_fuse_layers,
+    )
+    entries += _pooling("interactor.graph2roi", ("interactor", "graph2roi"))
+
+    # Decode (lanercnn.py:740-924).
+    entries += _linear_block("decode.pred.0", ("decode", "pred_hidden"))
+    entries += _dense("decode.pred.1", ("decode", "pred_out"))
+    entries += _dense("decode.agt_layer1.0", ("decode", "agt1_dense"))
+    entries += _linear_block("decode.agt_layer1.2", ("decode", "agt1_out"))
+    entries += _dense("decode.agt_layer2.0", ("decode", "agt2_dense"))
+    entries += _linear_block("decode.agt_layer2.2", ("decode", "agt2_out"))
+    entries += _pooling("decode.lane_pool", ("decode", "lane_pool"))
+    entries += _linear_block("decode.refinement.0", ("decode", "refine_hidden"))
+    entries += _dense("decode.refinement.1", ("decode", "refine_out"))
+    return entries
+
+
+def model_table(cfg: ModelConfig, model: str) -> List[Entry]:
+    if model == "lanercnn":
+        return lanercnn_table(cfg)
+    return lanegcn_table(cfg)
+
+
 def _to_flax(value: np.ndarray, kind: str) -> np.ndarray:
     if kind == _LIN:
         return np.ascontiguousarray(value.T)
@@ -216,16 +282,16 @@ def strip_prefixes(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def import_state_dict(
-    state_dict: Dict[str, np.ndarray], cfg: ModelConfig
+    state_dict: Dict[str, np.ndarray], cfg: ModelConfig, model: str = "lanegcn"
 ) -> Dict:
-    """torch LaneGCN state_dict (numpy values) → flax ``params`` tree.
+    """torch LaneGCN/LaneRCNN state_dict (numpy values) → flax ``params``.
 
     Strict: every table entry must be present, and every checkpoint key must
     be consumed (unknown keys raise, so silent architecture drift is
     impossible).
     """
     state_dict = strip_prefixes(state_dict)
-    table = lanegcn_table(cfg)
+    table = model_table(cfg, model)
     missing = [t for t, _, _, _ in table if t not in state_dict]
     if missing:
         raise KeyError(f"checkpoint missing {len(missing)} keys, e.g. {missing[:5]}")
@@ -248,14 +314,16 @@ def import_state_dict(
     return params
 
 
-def export_state_dict(params: Dict, cfg: ModelConfig) -> Dict[str, np.ndarray]:
-    """flax ``params`` tree → torch LaneGCN state_dict layout (numpy values).
+def export_state_dict(
+    params: Dict, cfg: ModelConfig, model: str = "lanegcn"
+) -> Dict[str, np.ndarray]:
+    """flax ``params`` tree → torch state_dict layout (numpy values).
 
     Exact inverse of :func:`import_state_dict`; used for round-trip testing
     and for handing our trained weights to the reference's eval stack.
     """
     out: Dict[str, np.ndarray] = {}
-    for tkey, fpath, kind, rel in lanegcn_table(cfg):
+    for tkey, fpath, kind, rel in model_table(cfg, model):
         leaf = np.asarray(_get_leaf(params, fpath), np.float32)
         if rel is not None:
             leaf = leaf[rel]
@@ -263,7 +331,7 @@ def export_state_dict(params: Dict, cfg: ModelConfig) -> Dict[str, np.ndarray]:
     return out
 
 
-def load_torch_checkpoint(path: str, cfg: ModelConfig) -> Dict:
+def load_torch_checkpoint(path: str, cfg: ModelConfig, model: str = "lanegcn") -> Dict:
     """Load a reference ``*.ckpt`` file and return flax params.
 
     Accepts both the training-driver format ``{"state_dict": ...}``
@@ -286,4 +354,4 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig) -> Dict:
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     sd_np = {k: v.detach().cpu().numpy() for k, v in sd.items()}
-    return import_state_dict(sd_np, cfg)
+    return import_state_dict(sd_np, cfg, model)

@@ -159,6 +159,8 @@ def main():
     ap.add_argument("--train", type=int, default=96)
     ap.add_argument("--val", type=int, default=24)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="model-init + data seed (multi-seed evidence)")
     ap.add_argument("--out", default="docs/convergence_r02.json")
     args = ap.parse_args()
 
@@ -166,8 +168,8 @@ def main():
     if ref is None:
         raise SystemExit("/root/reference not mounted")
 
-    train_scens = _scenarios(args.train, seed0=0)
-    val_scens = _scenarios(args.val, seed0=10_000)
+    train_scens = _scenarios(args.train, seed0=20_000 * args.seed)
+    val_scens = _scenarios(args.val, seed0=10_000 + 20_000 * args.seed)
     train_chunks = _chunks(train_scens, args.batch)
     val_chunks = _chunks(val_scens, args.batch)
 
@@ -189,7 +191,7 @@ def main():
 
     train_batches = pack(train_chunks)
     val_batches = pack(val_chunks)
-    params0 = bundle.net.init(jax.random.PRNGKey(0), train_batches[0])["params"]
+    params0 = bundle.net.init(jax.random.PRNGKey(args.seed), train_batches[0])["params"]
 
     t0 = time.time()
     ours = run_ours(config, bundle, params0, train_batches, val_batches, args.epochs)
@@ -205,7 +207,8 @@ def main():
         "meta": {
             "epochs": args.epochs, "lr_drop": args.lr_drop,
             "train_scenarios": args.train, "val_scenarios": args.val,
-            "batch": args.batch, "wall_s_ours": round(t_ours, 1),
+            "batch": args.batch, "seed": args.seed,
+            "wall_s_ours": round(t_ours, 1),
             "wall_s_torch_reference": round(t_ref, 1),
             "recipe": "Adam, StepLR 1e-3->1e-4, shared init, shared data/order",
         },

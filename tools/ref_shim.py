@@ -114,3 +114,92 @@ def reference_data(scens):
             },
         })
     return data
+
+
+def load_reference_lanercnn():
+    """Returns the reference `lanercnn` module, or None if not mounted.
+
+    Extra stubs beyond load_reference_lanegcn: torchvision and
+    sklearn.utils (imported at reference lanercnn.py:8,11 but unused by
+    Net/Loss), and data_lrcnn (pulls argoverse-api)."""
+    if not os.path.isdir(REF):
+        return None
+    # shared shims (fractions.gcd, data/utils stubs)
+    if load_reference_lanegcn() is None:
+        return None
+
+    from importlib.machinery import ModuleSpec
+
+    def _stub(name):
+        m = types.ModuleType(name)
+        # torch.dynamo probes module specs; a bare ModuleType has
+        # __spec__=None which breaks importlib.util.find_spec.
+        m.__spec__ = ModuleSpec(name, loader=None)
+        return m
+
+    if "torchvision" not in sys.modules:
+        sys.modules["torchvision"] = _stub("torchvision")
+    if "sklearn" not in sys.modules:
+        sk = _stub("sklearn")
+        sk_utils = _stub("sklearn.utils")
+        sk_utils.resample = lambda *a, **k: a
+        sk.utils = sk_utils
+        sys.modules["sklearn"] = sk
+        sys.modules["sklearn.utils"] = sk_utils
+    data_lrcnn_stub = types.ModuleType("data_lrcnn")
+    data_lrcnn_stub.ArgoDataset = object
+    data_lrcnn_stub.collate_fn = None
+    sys.modules.setdefault("data_lrcnn", data_lrcnn_stub)
+
+    sys.path.insert(0, REF)
+    try:
+        return importlib.import_module("lanercnn")
+    finally:
+        sys.path.remove(REF)
+
+
+def reference_roi_data(scens):
+    """Our RoI scenario dicts (data/lane_roi.generate_lane_rois) → the
+    reference lanercnn Net/Loss input format (reference lanercnn.py:97-119:
+    data["graph"] per-scenario graph dicts, data["subgraphs"] nested
+    per-scenario per-agent RoI dicts, plus the decode/loss fields)."""
+    import numpy as np
+    import torch
+
+    def tt(x, dtype=torch.float32):
+        return torch.as_tensor(np.asarray(x)).to(dtype)
+
+    data = reference_data(scens)
+    data["obs_trajs"] = [tt(s["obs_trajs"]) for s in scens]
+    data["valid_agent_ids"] = [tt(s["valid_agent_ids"], torch.int64) for s in scens]
+    data["subgraphs"] = []
+    for s in scens:
+        subs = []
+        for sg in s["subgraphs"]:
+            subs.append({
+                "feats": tt(sg["feats"]),
+                "agent_feat": tt(sg["agent_feat"]),
+                "agent_vel": float(sg["agent_vel"]),
+                "a2m": {
+                    "u": tt(sg["a2m"]["u"], torch.int64),
+                    "v": tt(sg["a2m"]["v"], torch.int64),
+                },
+                "pre": [
+                    {"u": tt(e["u"], torch.int64), "v": tt(e["v"], torch.int64)}
+                    for e in sg["pre"]
+                ],
+                "suc": [
+                    {"u": tt(e["u"], torch.int64), "v": tt(e["v"], torch.int64)}
+                    for e in sg["suc"]
+                ],
+                "left": {
+                    "u": tt(sg["left"]["u"], torch.int64),
+                    "v": tt(sg["left"]["v"], torch.int64),
+                },
+                "right": {
+                    "u": tt(sg["right"]["u"], torch.int64),
+                    "v": tt(sg["right"]["v"], torch.int64),
+                },
+            })
+        data["subgraphs"].append(subs)
+    return data
