@@ -3,6 +3,7 @@
 provenance snapshot — reference train.py:71-115,189-207) on a tiny
 synthetic run."""
 
+import pytest
 import json
 import os
 import signal
@@ -10,6 +11,7 @@ import sys
 import threading
 
 
+@pytest.mark.slow
 def test_cli_train_driver_features(tmp_path, capsys):
     from lanegcn_tpu.cli import main
 
@@ -54,6 +56,7 @@ def test_preemption_guard_latches_and_restores():
     assert signal.getsignal(signal.SIGTERM) is before
 
 
+@pytest.mark.slow
 def test_cli_train_preempt_checkpoints_and_resumes(tmp_path):
     """SIGTERM mid-run → the driver finishes the in-flight step, writes a
     resumable checkpoint, and exits cleanly; --resume then continues from the
@@ -104,6 +107,7 @@ def test_cli_train_preempt_checkpoints_and_resumes(tmp_path):
     assert "1.000.ckpt" in os.listdir(save_dir)
 
 
+@pytest.mark.slow
 def test_cli_train_resume(tmp_path):
     from lanegcn_tpu.cli import main
 

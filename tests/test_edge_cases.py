@@ -7,6 +7,7 @@ Here masked static shapes make the empty case just another mask pattern —
 these tests pin that."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -55,6 +56,7 @@ def _run_pack(scens):
         assert np.isfinite(np.asarray(leaf, np.float32)).all()
 
 
+@pytest.mark.slow
 def test_empty_graph_scenario_mixed_pack():
     """An off-map (zero-lane) scenario packed next to a normal one."""
     _run_pack([

@@ -60,6 +60,7 @@ def test_partition_covers_every_valid_edge():
         assert v.size == 0 or (0 <= v).all() and (v < rows).all(), nm
 
 
+@pytest.mark.slow
 def test_explicit_step_matches_data_mesh():
     """Same flat packs: explicit (data=2, graph=2) shard_map step must
     reproduce the 1-D data-mesh loss and metric sums."""
@@ -95,6 +96,7 @@ def test_explicit_step_matches_data_mesh():
     np.testing.assert_allclose(float(m_ex2["loss"]), float(m1d2["loss"]), rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_explicit_step_sgd_update_parity():
     """SGD parameter-update parity between the explicit (data=2, graph=2)
     step and the 1-D data-mesh step. Unlike the Adam leg above, SGD updates
@@ -149,6 +151,7 @@ def test_partition_overflow_drops_not_raises(capsys):
         assert np.asarray(e.u).shape[-1] >= 1, nm
 
 
+@pytest.mark.slow
 def test_cli_explicit_graph_parallel(tmp_path):
     """`train --mesh 2x2` runs the explicit shard_map path end to end."""
     from lanegcn_tpu.cli import main

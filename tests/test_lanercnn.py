@@ -148,6 +148,7 @@ def test_lanercnn_loss_and_metrics(batch, forward):
     assert np.isfinite(float(m["ade_sum"]))
 
 
+@pytest.mark.slow
 def test_lanercnn_gradients(batch, forward):
     net, params, _ = forward
 
@@ -232,6 +233,7 @@ def test_standalone_heads(batch):
     assert out.shape == (17, 6, 30, 2)
 
 
+@pytest.mark.slow
 def test_remat_pooling_parity(batch, forward):
     """remat=True (pooling stages rematerialized in backward) must produce
     identical outputs and near-identical gradients to remat=False."""

@@ -6,6 +6,7 @@ train_lanercnn.py, train_lrcnn_torch.py:119-124)."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +24,8 @@ from lanegcn_tpu.parallel import (
     stack_packs,
 )
 from lanegcn_tpu.train.optimizer import make_optimizer
+
+pytestmark = pytest.mark.slow
 
 TINY_ROI = RoiPackConfig(
     max_scenarios=2, max_rois=8, max_roi_nodes=768, max_interest_nodes=256,

@@ -6,6 +6,7 @@ for LaneGCN (parallel/sharding.py) with the RoI loss/metrics plugged in.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -22,6 +23,8 @@ from lanegcn_tpu.parallel import (
     stack_packs,
 )
 from lanegcn_tpu.train.optimizer import make_optimizer
+
+pytestmark = pytest.mark.slow
 
 TINY_ROI = RoiPackConfig(
     max_scenarios=2,

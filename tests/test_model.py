@@ -90,6 +90,7 @@ def test_padding_invariance(cfg, batch, params_and_out):
     )
 
 
+@pytest.mark.slow
 def test_gradients_flow(cfg, batch, params_and_out):
     net, params, _ = params_and_out
 

@@ -164,6 +164,7 @@ def test_model_loss_matches_contiguous_layout(agg_mode):
     np.testing.assert_allclose(ade_s, ade_c, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_grad_matches_contiguous_layout():
     """Parameter gradients agree between layouts (plan VJP correctness in
     the full model)."""

@@ -30,6 +30,7 @@ def _packs(config, n, seed0=0):
     return out
 
 
+@pytest.mark.slow
 def test_parallel_train_step_runs_on_mesh():
     assert len(jax.devices()) >= 8, "conftest must force 8 host devices"
     config = Config(pack=TINY)
@@ -52,6 +53,7 @@ def test_parallel_train_step_runs_on_mesh():
     assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_2d_mesh_graph_sharding():
     """Full train step on a (data=2, graph=2) mesh: node/edge axes sharded,
     GSPMD-inserted collectives; loss must match the 1-D data-mesh result."""
@@ -86,6 +88,7 @@ def test_2d_mesh_graph_sharding():
     assert float(m2d["num_reg"]) == float(m1d["num_reg"])
 
 
+@pytest.mark.slow
 def test_parallel_matches_single_device_math():
     """Sharded loss+grads on a 2-device mesh == the same computation on one
     device. (Params after an Adam step are not compared: for near-zero grads

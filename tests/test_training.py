@@ -4,6 +4,7 @@ log, SURVEY.md §4). Uses reduced model dims so CPU steps are fast; this also
 exercises non-default n_actor/n_map/num_scales configurations."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +38,7 @@ def _batches(cfg, n_packs=2):
     return out
 
 
+@pytest.mark.slow
 def test_small_model_overfits():
     cfg = Config(model=SMALL_MODEL, pack=SMALL_PACK)
     batches = _batches(cfg)
@@ -58,6 +60,7 @@ def test_small_model_overfits():
     assert np.isfinite(last["loss"])
 
 
+@pytest.mark.slow
 def test_multi_step_dispatch_equals_sequential():
     """K scanned steps must produce the same params as K sequential steps."""
     cfg = Config(model=SMALL_MODEL, pack=SMALL_PACK)
@@ -84,6 +87,7 @@ def test_multi_step_dispatch_equals_sequential():
     )
 
 
+@pytest.mark.slow
 def test_small_model_overfits_bf16():
     """bf16 compute must train comparably to fp32 (justifies the bench/prod
     default of bfloat16 matmuls with fp32 params + normalization)."""
