@@ -368,9 +368,14 @@ def main():
 
         # pack_workers=1 on this 2-core box: the single background
         # packing thread overlaps with the transfer thread; more workers
-        # just contend for the 2 CPUs (measured: w=2 is ~2x slower).
+        # just contend for the 2 CPUs. The epoch is lengthened (x8 the
+        # bench scenarios, pack caches shared) so steady-state rate is
+        # measured rather than the loader-thread spin-up + first-pack
+        # latency + end-drain of a 2-pack epoch (the round-2 artifact:
+        # those overheads halved the reported e2e).
+        reps = int(os.environ.get("BENCH_E2E_REPS", "8"))
         loader = PackedLoader(
-            _ListDataset(scens), config, shuffle=True, pack_workers=1
+            _ListDataset(scens * reps), config, shuffle=True, pack_workers=1
         )
         # Warm epoch (fills caches, compiles nothing new), then measure.
         for ep in range(2):
