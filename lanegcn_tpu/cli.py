@@ -235,7 +235,12 @@ def cmd_train(args):
     loader = _make_loader(
         dataset, config, args.model,
         shuffle=True, seed=config.train.seed, pack_workers=args.workers,
-        process_index=pi, process_count=pc, **loader_kw,
+        process_index=pi, process_count=pc,
+        # single-device: device transfers ride the pack workers so they
+        # overlap the in-flight step (multi-host paths assemble global
+        # arrays from host numpy instead)
+        to_device=(pc == 1 and not args.mesh),
+        **loader_kw,
     )
 
     if pc > 1 and not args.mesh:

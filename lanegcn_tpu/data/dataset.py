@@ -122,9 +122,18 @@ class PackedLoader:
         scen_per_pack: Optional[int] = None,
         pack_workers: int = 1,
         shard_window: Optional[int] = None,
+        to_device: bool = False,
     ):
         """packer: (scenarios, config) → (batch, stats); defaults to the
-        LaneGCN pack_batch. For LaneRCNN pass a pack_roi_batch wrapper."""
+        LaneGCN pack_batch. For LaneRCNN pass a pack_roi_batch wrapper.
+
+        to_device: transfer each packed batch to the default device INSIDE
+        the worker thread (jnp.asarray per leaf) so host→device copies
+        overlap the previous step instead of serializing on the main
+        thread (measured on the axon relay: 497 → 841 scen/s e2e — the
+        relay queues a main-thread transfer behind the in-flight step).
+        Leave False for multi-host paths that assemble global arrays from
+        host numpy."""
         self.dataset = dataset
         self.config = config
         self.shuffle = shuffle
@@ -139,6 +148,7 @@ class PackedLoader:
         self.scen_per_pack = scen_per_pack or config.pack.max_scenarios
         self.pack_workers = pack_workers
         self.shard_window = shard_window
+        self.to_device = to_device
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         """Epoch scenario order: full Fisher-Yates for in-memory datasets;
@@ -189,6 +199,11 @@ class PackedLoader:
             batch, stats = self.packer(group, self.config)
             if self.drop_stats is not None:
                 self.drop_stats.append(stats)
+            if self.to_device:
+                import jax
+                import jax.numpy as jnp
+
+                batch = jax.tree.map(jnp.asarray, batch)
             return batch
 
         if self.pack_workers > 1:
