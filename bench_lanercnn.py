@@ -45,20 +45,26 @@ def bench_roi_config(scen: int = 512) -> RoiPackConfig:
     # zero). Capacities carry ~10% headroom; the pack asserts zero drops
     # below, so an overflow fails loudly rather than silently.
     f = scen // 256
+    # Round 3: WINDOWED layouts + window edge plans (ops/pallas_scenario_agg)
+    # for both node spaces — RoIs placed at RoI granularity into 256-row
+    # windows (RoIs are ~70-150 nodes: dense fill, no straddle), the global
+    # graph at scenario granularity into 768-row windows (bench.py's
+    # layout). left/right ride the plans (table_relations=()).
     return RoiPackConfig(
         max_scenarios=scen,
         max_rois=1536 * f,
-        max_roi_nodes=104448 * f,
-        max_global_nodes=196608 * f,  # 768/scen, 92% occupancy — same
-        # right-sizing as bench.py: node capacity is the work unit of every
-        # row op in the shared LaneConv stacks
+        max_roi_nodes=98304 * f,      # 256 x 384 windows (bin-packed ~97% fill)
+        max_global_nodes=208896 * f,  # 768 x 272 windows (bench.py sizing)
         max_interest_nodes=20480 * f,
-        max_edges_scale0=1024 * f,
-        max_edges_dilated=8192 * f,
-        # left/right ride the [M] neighbor tables (51.8k each measured,
-        # zero duplicate-destination residue); capacity kept nonzero so
-        # the overflow scatter path stays in the program
-        max_edges_lr=1024 * f,
+        node_stride=256,
+        max_plan_edges=int(os.environ.get("BENCH_ROI_PLAN", "512")),
+        global_node_stride=768,
+        global_plan_edges=int(os.environ.get("BENCH_G_PLAN", "2048")),
+        table_relations=(),
+        # classic lists carry only the plan spill (~3.3k measured)
+        max_edges_scale0=512 * f,
+        max_edges_dilated=2048 * f,
+        max_edges_lr=2048 * f,
         max_a2m_edges=10240 * f,
         max_pool_edges=int(os.environ.get("BENCH_POOL_CAP", 1048576 * f)),
         max_a2r_edges=49152 * f,

@@ -152,6 +152,28 @@ class RoiPackConfig:
     # Inverse-edge capacity for the RoI subgraphs' left/right neighbor
     # tables (ops.table_gather). 0 ⇒ 2 × max_roi_nodes (exact bound).
     max_table_edges: int = 0
+    # WINDOWED layouts + window edge plan for ops/pallas_scenario_agg, as in
+    # PackConfig: applies to BOTH the RoI-node space (scenario RoI blocks
+    # placed first-fit into stride windows) and the shared global lane
+    # graph (forwarded to its pack_batch). Requires max_roi_nodes and
+    # max_global_nodes to be multiples of node_stride.
+    node_stride: int | None = None
+    max_plan_edges: int = 0
+    # Stride for the global-graph window layout (defaults to node_stride).
+    # The two spaces want different strides: RoIs are ~70-150 nodes (256
+    # packs densely at RoI granularity), scenarios' global graphs ~700
+    # (768 keeps them single-window).
+    global_node_stride: int | None = None
+    global_plan_edges: int = 0
+    table_relations: Tuple[str, ...] = ("left", "right")
+
+    @property
+    def g_stride(self):
+        return self.global_node_stride or self.node_stride
+
+    @property
+    def g_plan_edges(self) -> int:
+        return self.global_plan_edges or self.max_plan_edges
 
     @property
     def table_edge_capacity(self) -> int:

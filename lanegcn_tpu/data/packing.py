@@ -304,6 +304,128 @@ def _segment_reorder(
     return out, per_rel
 
 
+
+
+def window_place(n_off: int, size: int, stride: int | None) -> int:
+    """First-fit window-aligned placement: return the start row for a block
+    of `size` rows given the current fill `n_off`. Blocks that fit inside
+    the current stride-window's remainder stay contiguous; otherwise they
+    start at the next window boundary (oversize blocks straddle)."""
+    if stride is None or size > stride:
+        return n_off
+    room = stride - (n_off % stride)
+    return n_off + room if size > room else n_off
+
+
+class WindowBinPacker:
+    """First-fit bin packing of small blocks into stride-row windows.
+
+    Unlike window_place (which only looks at the current tail), items may
+    land in ANY window with room, so ~70-row RoIs fill 256-row windows to
+    ~97% instead of leaving first-fit tails (~20% waste measured). Oversize
+    items (> stride) consume a run of empty windows. Placement is stateful:
+    use try_place per item group and roll back by restoring fills."""
+
+    def __init__(self, stride: int, num_windows: int):
+        self.stride = stride
+        self.fills = np.zeros(num_windows, np.int64)
+
+    def try_place(self, sizes) -> list | None:
+        """Place each size; returns start rows, or None (state restored) if
+        any item does not fit."""
+        snapshot = self.fills.copy()
+        starts = []
+        for size in sizes:
+            size = int(size)
+            if size <= self.stride:
+                ok = np.nonzero(self.fills + size <= self.stride)[0]
+                if not len(ok):
+                    self.fills = snapshot
+                    return None
+                w = int(ok[0])
+                starts.append(w * self.stride + int(self.fills[w]))
+                self.fills[w] += size
+            else:
+                # oversize: a run of ceil(size/stride) fully-empty windows
+                k = -(-size // self.stride)
+                empty = self.fills == 0
+                run = 0
+                w0 = -1
+                for w in range(len(empty)):
+                    run = run + 1 if empty[w] else 0
+                    if run == k:
+                        w0 = w - k + 1
+                        break
+                if w0 < 0:
+                    self.fills = snapshot
+                    return None
+                starts.append(w0 * self.stride)
+                self.fills[w0 : w0 + k - 1] = self.stride
+                self.fills[w0 + k - 1] = size - (k - 1) * self.stride
+        return starts
+
+
+def build_window_plan(
+    pend: Dict[str, Tuple[np.ndarray, np.ndarray]],
+    names: Sequence[str],
+    stride: int,
+    n_windows: int,
+    plan_cap: int,
+    stats: Dict,
+):
+    """Window edge plan for ops/pallas_scenario_agg: edges whose endpoints
+    share one stride-window become per-window local (dst, src, relation)
+    triples; cross-window edges and per-window budget overflow stay in the
+    classic lists (pend is mutated to hold only the residue). Functional /
+    cheap relations are admitted first so budget overflow lands on the
+    high-dilation scales. Returns (plan_lu, plan_lv, plan_rel) as
+    [n_windows*plan_cap, 1] int32."""
+    num_rel = len(names)
+    plan_lu = np.full((n_windows * plan_cap, 1), -1, np.int32)
+    plan_lv = np.full((n_windows * plan_cap, 1), -1, np.int32)
+    plan_rel = np.full((n_windows * plan_cap, 1), -1, np.int32)
+    prio = sorted(
+        range(num_rel),
+        key=lambda r: (0 if names[r] in ("left", "right") else 1, names[r][3:]),
+    )
+    all_u = np.concatenate([pend[names[r]][0] for r in prio]).astype(np.int64)
+    all_v = np.concatenate([pend[names[r]][1] for r in prio]).astype(np.int64)
+    all_r = np.repeat(
+        np.asarray(prio, np.int32),
+        [len(pend[names[r]][0]) for r in prio],
+    )
+    stats["plan_edges"] = 0
+    stats["spilled_plan_edges"] = 0
+    if len(all_u):
+        w_u = all_u // stride
+        in_win = w_u == (all_v // stride)
+        iw = np.nonzero(in_win)[0]
+        order = iw[np.argsort(w_u[iw], kind="stable")]
+        w_sorted = w_u[order]
+        cnt = np.bincount(w_sorted, minlength=n_windows)
+        starts = np.zeros(n_windows, np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        pos = np.arange(len(order), dtype=np.int64) - np.repeat(starts, cnt)
+        fit = pos < plan_cap
+        sel = order[fit]
+        slots = (w_sorted * plan_cap + pos)[fit]
+        plan_lu[slots, 0] = all_u[sel] % stride
+        plan_lv[slots, 0] = all_v[sel] % stride
+        plan_rel[slots, 0] = all_r[sel]
+        keep = np.zeros(len(all_u), bool)
+        keep[sel] = True
+        stats["plan_edges"] = int(keep.sum())
+        stats["spilled_plan_edges"] = int((~keep).sum())
+        su, sv, sr = all_u[~keep], all_v[~keep], all_r[~keep]
+        for r2, nm in enumerate(names):
+            m = sr == r2
+            pend[nm] = (su[m], sv[m])
+    else:
+        for nm in names:
+            pend[nm] = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    return plan_lu, plan_lv, plan_rel
+
+
 def pack_batch(
     scenarios: Sequence[Dict],
     pack_cfg: PackConfig,
@@ -389,11 +511,7 @@ def pack_batch(
             continue
         cache = precompute_pack_cache(scen, model_cfg)
         na, nn = cache["na"], cache["nn"]
-        start = n_off
-        if stride is not None and nn <= stride:
-            room = stride - (n_off % stride)
-            if nn > room:
-                start = n_off + room  # jump to the next window boundary
+        start = window_place(n_off, nn, stride)
         if na == 0 or a_off + na > a_cap or start + nn > n_cap:
             stats["skipped_scenarios"] += 1
             continue
@@ -552,52 +670,9 @@ def pack_batch(
     # window's budget stay in the classic lists.
     plan_lu = plan_lv = plan_rel = None
     if plan_cap:
-        plan_lu = np.full((n_windows * plan_cap, 1), -1, np.int32)
-        plan_lv = np.full((n_windows * plan_cap, 1), -1, np.int32)
-        plan_rel = np.full((n_windows * plan_cap, 1), -1, np.int32)
-        # Plan admission order: functional/cheap relations first (left,
-        # right, low dilation scales) so a window's budget overflow spills
-        # the high-dilation scales — whose classic-list capacity exists
-        # anyway — rather than dropping left/right.
-        prio = sorted(
-            range(num_rel),
-            key=lambda r: (0 if names[r] in ("left", "right") else 1, names[r][3:]),
+        plan_lu, plan_lv, plan_rel = build_window_plan(
+            pend, names, stride, n_windows, plan_cap, stats
         )
-        all_u = np.concatenate([pend[names[r]][0] for r in prio]).astype(np.int64)
-        all_v = np.concatenate([pend[names[r]][1] for r in prio]).astype(np.int64)
-        all_r = np.repeat(
-            np.asarray(prio, np.int32),
-            [len(pend[names[r]][0]) for r in prio],
-        )
-        stats["plan_edges"] = 0
-        stats["spilled_plan_edges"] = 0
-        if len(all_u):
-            w_u = all_u // stride
-            in_win = w_u == (all_v // stride)
-            iw = np.nonzero(in_win)[0]
-            order = iw[np.argsort(w_u[iw], kind="stable")]
-            w_sorted = w_u[order]
-            cnt = np.bincount(w_sorted, minlength=n_windows)
-            starts = np.zeros(n_windows, np.int64)
-            np.cumsum(cnt[:-1], out=starts[1:])
-            pos = np.arange(len(order), dtype=np.int64) - np.repeat(starts, cnt)
-            fit = pos < plan_cap
-            sel = order[fit]
-            slots = (w_sorted * plan_cap + pos)[fit]
-            plan_lu[slots, 0] = all_u[sel] % stride
-            plan_lv[slots, 0] = all_v[sel] % stride
-            plan_rel[slots, 0] = all_r[sel]
-            keep = np.zeros(len(all_u), bool)
-            keep[sel] = True
-            stats["plan_edges"] = int(keep.sum())
-            stats["spilled_plan_edges"] = int((~keep).sum())
-            su, sv, sr = all_u[~keep], all_v[~keep], all_r[~keep]
-            for r2, nm in enumerate(names):
-                m = sr == r2
-                pend[nm] = (su[m], sv[m])
-        else:
-            for nm in names:
-                pend[nm] = (np.zeros(0, np.int64), np.zeros(0, np.int64))
 
     edges = {}
     for nm in names:

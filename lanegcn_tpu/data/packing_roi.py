@@ -27,6 +27,7 @@ from lanegcn_tpu.config import (
     relation_names,
 )
 from lanegcn_tpu.data.packing import (
+    WindowBinPacker,
     _build_table_inverse,
     _pad_edges,
     _pad_edges_sorted,
@@ -34,6 +35,8 @@ from lanegcn_tpu.data.packing import (
     _segment_reorder,
     _threshold_edges,
     pack_batch,
+    build_window_plan,
+    window_place,
 )
 from lanegcn_tpu.graph import RoiPackedBatch
 
@@ -210,12 +213,29 @@ def pack_roi_batch(
     g_cap = roi_cfg.max_global_nodes or m_cap
     t_hist, t_pred = model_cfg.num_hist, model_cfg.num_preds
     num_rel = len(names)
+    stride = roi_cfg.node_stride
+    g_stride = roi_cfg.g_stride
+    if stride is not None:
+        assert m_cap % stride == 0, (
+            f"windowed RoI layout requires max_roi_nodes ({m_cap}) to be a "
+            f"multiple of node_stride ({stride})"
+        )
+    if g_stride is not None:
+        assert g_cap % g_stride == 0, (
+            f"windowed global layout requires max_global_nodes ({g_cap}) to "
+            f"be a multiple of global stride ({g_stride})"
+        )
+    plan_cap = roi_cfg.max_plan_edges if stride else 0
+    if not roi_cfg.table_relations:
+        split_tables = False
 
     # Shared global lane graph via the LaneGCN packer (fusion edges unused).
     gcfg = PackConfig(
         max_scenarios=b_cap,
         # Generous: the global-graph packer must accept every scenario this
-        # packer accepted (its skip would desync offsets — asserted below).
+        # packer accepted (its skip would desync offsets — asserted below;
+        # the acceptance pass below mirrors pack_batch's window placement
+        # exactly so the budgets agree).
         max_actors=64 * b_cap,
         max_nodes=g_cap,  # global nodes ≤ Σ roi nodes; typically ~2x less
         max_edges_scale0=roi_cfg.max_edges_scale0,
@@ -224,6 +244,9 @@ def pack_roi_batch(
         max_a2m_edges=1,
         max_m2a_edges=1,
         max_a2a_edges=1,
+        node_stride=roi_cfg.g_stride,
+        max_plan_edges=roi_cfg.g_plan_edges,
+        table_relations=roi_cfg.table_relations,
     )
 
     stats = {"skipped_scenarios": 0, "packed_scenarios": 0}
@@ -231,25 +254,43 @@ def pack_roi_batch(
     # --- acceptance pass ---
     accepted: List[Dict] = []  # roi caches
     used: List[Dict] = []  # scenario dicts (for the global-graph packer)
+    roi_start_list: List[int] = []  # per-RoI placed start rows (flat)
     m_off = r_off = mi_off = g_off = 0
+    packer = WindowBinPacker(stride, m_cap // stride) if stride else None
     for scen in scenarios:
         c = precompute_roi_cache(scen, model_cfg, pooling_dist)
-        if (
+        # Bin-pack at ROI granularity (RoIs are ~70-150 nodes: ~97% window
+        # fill, no straddle, every RoI-local edge window-local); the global
+        # graph mirrors pack_batch's scenario-granular placement so budgets
+        # stay in sync with its packer.
+        reject = (
             len(accepted) >= b_cap
             or c["num_subs"] == 0
             or r_off + c["num_subs"] > r_cap
-            or m_off + c["tot_nodes"] > m_cap
             or mi_off + c["int_nn"] > mi_cap
-            or g_off + c["nn_g"] > g_cap
-        ):
+        )
+        g_start = window_place(g_off, c["nn_g"], g_stride)
+        reject = reject or g_start + c["nn_g"] > g_cap
+        starts = None
+        if not reject:
+            if packer is not None:
+                starts = packer.try_place(c["sub_counts"])
+                reject = starts is None
+            else:
+                starts = (m_off + np.concatenate(
+                    [[0], np.cumsum(c["sub_counts"][:-1])]
+                ).astype(np.int64)).tolist()
+                reject = m_off + c["tot_nodes"] > m_cap
+        if reject:
             stats["skipped_scenarios"] += 1
             continue
         accepted.append(c)
         used.append(scen)
+        roi_start_list += [int(x) for x in starts]
         m_off += c["tot_nodes"]
         r_off += c["num_subs"]
         mi_off += c["int_nn"]
-        g_off += c["nn_g"]
+        g_off = g_start + c["nn_g"]
     si = len(accepted)
     stats["packed_scenarios"] = si
     stats["num_rois"] = r_off
@@ -259,20 +300,29 @@ def pack_roi_batch(
     stats["seq_ids"] = [int(s.get("seq_id", i)) for i, s in enumerate(used)]
     stats["cities"] = [str(s.get("city", "")) for s in used]
 
-    M, R, MI = m_off, r_off, mi_off
+    # M = concatenated RoI-node rows (m_off additionally counts window
+    # alignment gaps under the RoI-granular placement)
+    R, MI = r_off, mi_off
+    M = int(sum(c["tot_nodes"] for c in accepted))
     tot_arr = np.asarray([c["tot_nodes"] for c in accepted], np.int64)
     sub_arr = np.asarray([c["num_subs"] for c in accepted], np.int64)
     int_arr = np.asarray([c["int_nn"] for c in accepted], np.int64)
     g_arr = np.asarray([c["nn_g"] for c in accepted], np.int64)
-    m_offs = np.zeros(si, np.int64)
+    roi_starts = np.asarray(roi_start_list, np.int64)
     r_offs = np.zeros(si, np.int64)
     mi_offs = np.zeros(si, np.int64)
     g_offs = np.zeros(si, np.int64)
     if si:
-        np.cumsum(tot_arr[:-1], out=m_offs[1:])
         np.cumsum(sub_arr[:-1], out=r_offs[1:])
         np.cumsum(int_arr[:-1], out=mi_offs[1:])
-        np.cumsum(g_arr[:-1], out=g_offs[1:])
+        if g_stride is not None:
+            # mirror pack_batch's window placement for the global graph
+            g = 0
+            for i, nn_g in enumerate(g_arr):
+                g_offs[i] = window_place(g, int(nn_g), g_stride)
+                g = g_offs[i] + int(nn_g)
+        else:
+            np.cumsum(g_arr[:-1], out=g_offs[1:])
 
     # --- vectorized assembly ---
     node_feats = np.zeros((m_cap, 8), np.float32)
@@ -297,10 +347,21 @@ def pack_roi_batch(
     scen_mask = np.zeros(b_cap, bool)
 
     if si:
-        node_feats[:M] = np.concatenate([c["rnode_blob"] for c in accepted])
-        node_mask[:M] = True
+        contig_starts = np.zeros(si, np.int64)
+        np.cumsum(tot_arr[:-1], out=contig_starts[1:])
+        roi_sizes = np.concatenate([c["sub_counts"] for c in accepted]).astype(np.int64)
+        roi_contig = np.zeros(len(roi_sizes), np.int64)
+        np.cumsum(roi_sizes[:-1], out=roi_contig[1:])
+        # contiguous position -> placed global row, per RoI
+        dst_rows = np.repeat(roi_starts, roi_sizes) + (
+            np.arange(M, dtype=np.int64) - np.repeat(roi_contig, roi_sizes)
+        )
+        m_offs = contig_starts  # edge/interest math stays contiguous; the
+        # dst_rows remap below converts to placed rows
+        node_feats[dst_rows] = np.concatenate([c["rnode_blob"] for c in accepted])
+        node_mask[dst_rows] = True
         # RoI row per node: scenario-local RoI ids + per-scenario RoI offset.
-        node_roi[:M] = np.repeat(
+        node_roi[dst_rows] = np.repeat(
             np.repeat(r_offs, sub_arr)
             + np.concatenate([np.arange(c["num_subs"], dtype=np.int64) for c in accepted]),
             np.concatenate([c["sub_counts"] for c in accepted]),
@@ -310,10 +371,8 @@ def pack_roi_batch(
         roi_mask[:R] = True
         roi_scen[:R] = np.repeat(np.arange(si, dtype=np.int32), sub_arr)
 
-        # Interest-RoI nodes are each scenario's first sub: rows m_off..+int_nn.
-        int_node_idx[:MI] = np.repeat(m_offs, int_arr) + np.concatenate(
-            [np.arange(c["int_nn"], dtype=np.int64) for c in accepted]
-        )
+        # Interest-RoI nodes are each scenario's first sub (placed rows
+        # assigned after the edge-offset block below).
         int_node_scen[:MI] = np.repeat(np.arange(si, dtype=np.int32), int_arr)
         int_node_mask[:MI] = True
 
@@ -344,16 +403,27 @@ def pack_roi_batch(
             return np.concatenate(parts).astype(np.int64) + np.repeat(offs, lens)
 
         a2m_u = _offset("a2m_u", r_offs)
-        a2m_v = _offset("a2m_v", m_offs)
-        pool_ru = _offset("pool_ru", m_offs)
+        a2m_v = dst_rows[_offset("a2m_v", m_offs)]
+        pool_ru = dst_rows[_offset("pool_ru", m_offs)]
         pool_gv = _offset("pool_gv", g_offs)
         a2r_u = _offset("a2r_u", mi_offs)
         a2r_v = _offset("a2r_v", np.arange(si, dtype=np.int64) * t_hist)
+        # RoI relation edges: contiguous coords -> placed rows
+        rel_u = dst_rows[rel_u]
+        rel_v = dst_rows[rel_v]
+        # interest nodes = the first RoI's rows per scenario (contiguous
+        # within that RoI after placement)
+        int_node_idx[:MI] = dst_rows[
+            np.repeat(m_offs, int_arr) + np.concatenate(
+                [np.arange(c["int_nn"], dtype=np.int64) for c in accepted]
+            )
+        ]
     else:
         rel_u = rel_v = np.zeros(0, np.int64)
         per_rel = np.zeros(num_rel, np.int64)
         band_cat = np.zeros((0, 2 * model_cfg.num_scales), bool)
         a2m_u = a2m_v = pool_ru = pool_gv = a2r_u = a2r_v = np.zeros(0, np.int64)
+        dst_rows = np.zeros(0, np.int64)
 
     graph_batch, gstats = pack_batch(
         used, gcfg, model_cfg, split_bands=split_bands, split_tables=split_tables
@@ -380,11 +450,11 @@ def pack_roi_batch(
             j += 1
             if split_bands:
                 mask = np.zeros(m_cap, bool)
-                mask[: len(col)] = col
+                mask[dst_rows] = col
                 bands[nm] = mask
                 stats[f"banded_{nm}"] = int(col.sum())
             else:
-                bu = np.nonzero(col)[0]
+                bu = dst_rows[col]
                 u = np.concatenate([u, bu])
                 v = np.concatenate([v, bu + shift])
         if split_tables and nm in ("left", "right"):
@@ -400,6 +470,12 @@ def pack_roi_batch(
     if split_tables:
         table_inv = _build_table_inverse(
             tables, names, m_cap, roi_cfg.table_edge_capacity, pend, stats
+        )
+
+    plan_lu = plan_lv = plan_rel = None
+    if plan_cap:
+        plan_lu, plan_lv, plan_rel = build_window_plan(
+            pend, names, stride, m_cap // stride, plan_cap, stats
         )
 
     edges = {}
@@ -453,5 +529,9 @@ def pack_roi_batch(
         bands=bands,
         tables=tables,
         table_inv=table_inv,
+        plan_lu=plan_lu,
+        plan_lv=plan_lv,
+        plan_rel=plan_rel,
+        plan_scen=(m_cap // stride) if plan_cap else 0,
     )
     return batch, stats

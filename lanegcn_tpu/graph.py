@@ -204,6 +204,12 @@ class RoiPackedBatch:
     # (same encoding as LaneGraphBatch.tables/table_inv).
     tables: Dict[str, jax.Array] | None = None
     table_inv: EdgeSet | None = None
+    # Window edge plan over the RoI-node space [M] (same encoding as
+    # LaneGraphBatch.plan_* — see ops/pallas_scenario_agg).
+    plan_lu: jax.Array | None = None
+    plan_lv: jax.Array | None = None
+    plan_rel: jax.Array | None = None
+    plan_scen: int = struct.field(pytree_node=False, default=0)
 
 
 def empty_edge_set(capacity: int) -> EdgeSet:

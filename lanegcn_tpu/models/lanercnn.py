@@ -71,12 +71,12 @@ class LaneRoI(nn.Module):
     @nn.compact
     def __call__(
         self, feat: jax.Array, edges: Dict[str, EdgeSet], bands=None,
-        tables=None, table_inv=None,
+        tables=None, table_inv=None, plan=None,
     ) -> jax.Array:
         feat = Linear(self.cfg.n_map, dtype=self.dtype, name="input")(feat)
         return LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="fuse"
-        )(feat, edges, bands, tables, table_inv)
+        )(feat, edges, bands, tables, table_inv, plan=plan)
 
 
 class LanePooling(nn.Module):
@@ -173,9 +173,12 @@ class Interactor(nn.Module):
                           pallas_edge=self.cfg.pallas_edge, name="roi2graph")(
             roi_feat, roi_pose, graph_input, graph_pose, batch.r2g
         )
+        from lanegcn_tpu.models.map_net import _graph_plan
+
         graph_feat = LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="global_graph"
-        )(graph_feat, g.edges, g.bands, g.tables, g.table_inv)
+        )(graph_feat, g.edges, g.bands, g.tables, g.table_inv,
+          plan=_graph_plan(g))
         roi_feat = Pool(n_map, dtype=self.dtype,
                         pallas_edge=self.cfg.pallas_edge, name="graph2roi")(
             graph_feat, graph_pose, roi_feat, roi_pose, batch.g2r
@@ -398,15 +401,20 @@ class LaneRCNN(nn.Module):
 
     @nn.compact
     def __call__(self, batch: RoiPackedBatch) -> Dict[str, jax.Array]:
+        roi_plan = None
+        if batch.plan_lu is not None:
+            roi_plan = (batch.plan_lu, batch.plan_lv, batch.plan_rel, batch.plan_scen)
         feat = LaneInput(self.cfg, dtype=self.dtype, name="input")(batch)
         feat = LaneRoI(self.cfg, dtype=self.dtype, name="roi_net1")(
-            feat, batch.edges, batch.bands, batch.tables, batch.table_inv
+            feat, batch.edges, batch.bands, batch.tables, batch.table_inv,
+            plan=roi_plan,
         )
         feat = Interactor(
             self.cfg, dtype=self.dtype, remat=self.remat, name="interactor"
         )(batch, feat)
         feat = LaneRoI(self.cfg, dtype=self.dtype, name="roi_net2")(
-            feat, batch.edges, batch.bands, batch.tables, batch.table_inv
+            feat, batch.edges, batch.bands, batch.tables, batch.table_inv,
+            plan=roi_plan,
         )
         logits, goals, trajs = Decode(
             self.cfg, dtype=self.dtype, remat=self.remat, name="decode"

@@ -190,3 +190,44 @@ def test_grad_matches_contiguous_layout():
     flat_c = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g_c)])
     flat_s = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g_s)])
     np.testing.assert_allclose(flat_s, flat_c, rtol=5e-4, atol=5e-5)
+
+
+def test_lanercnn_loss_matches_contiguous_layout():
+    """LaneRCNN: windowed RoI + global layouts with plans vs contiguous —
+    identical loss (row layout is internal)."""
+    from lanegcn_tpu.config import RoiPackConfig
+    from lanegcn_tpu.data.dataset import RoiSyntheticDataset
+    from lanegcn_tpu.data.packing_roi import pack_roi_batch
+    from lanegcn_tpu.models.lanercnn import LaneRCNN, roi_loss, roi_metrics
+    from lanegcn_tpu.config import LossConfig
+
+    base = dict(
+        max_scenarios=2, max_rois=8, max_interest_nodes=256,
+        max_edges_scale0=512, max_edges_dilated=512, max_edges_lr=512,
+        max_a2m_edges=256, max_pool_edges=8192, max_a2r_edges=512,
+    )
+    contig = RoiPackConfig(max_roi_nodes=1024, max_global_nodes=512, **base)
+    windowed = RoiPackConfig(
+        max_roi_nodes=256 * 6, max_global_nodes=256 * 4, node_stride=256,
+        max_plan_edges=256, table_relations=(), **base,
+    )
+    mc = dataclasses.replace(ModelConfig(), scenario_agg="xla")
+    ds = RoiSyntheticDataset(100, num_corridors=1, num_actors=4)
+    scens = [ds[500 + i] for i in range(2)]
+    b_c, st_c = pack_roi_batch(scens, contig, mc)
+    b_w, st_w = pack_roi_batch(scens, windowed, mc)
+    assert st_w["packed_scenarios"] == st_c["packed_scenarios"] == 2
+    assert st_w.get("plan_edges", 0) > 0, st_w
+    drops = {k: v for k, v in st_w.items()
+             if k.startswith("dropped") and np.any(v)}
+    assert not drops, drops
+    net = LaneRCNN(mc)
+    b_c = jax.tree.map(jnp.asarray, b_c)
+    b_w = jax.tree.map(jnp.asarray, b_w)
+    params = net.init(jax.random.PRNGKey(2), b_c)["params"]
+
+    def run(batch):
+        out = net.apply({"params": params}, batch)
+        return float(roi_loss(out, batch, LossConfig())["loss"])
+
+    np.testing.assert_allclose(run(b_w), run(b_c), rtol=1e-4)
