@@ -30,11 +30,19 @@ Plan arrays (built by data/packing.py alongside the pack):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+# Relation-matmul formulation: "0" = one masked [chunk,C]x[C,C] matmul per
+# relation (14 dispatches/chunk), "1" = lane-concatenate the masked copies
+# and contract once as [chunk, R*C]x[R*C, C]. A/B'd on TPU v5e (see
+# docs/PERFORMANCE.md): measured within noise of each other — the MXU
+# pipelines the small matmuls well — so the simpler looped form ships.
+_BATCHED = os.environ.get("SCEN_AGG_BATCHED", "0") == "1"
 
 
 def _onehot(idx_col: jax.Array, width: int, dtype) -> jax.Array:
@@ -72,10 +80,26 @@ def _fwd_kernel(
             gath = jnp.dot(
                 _onehot(lv, stride, dt), win, preferred_element_type=jnp.float32
             ).astype(dt)  # [chunk, C]
-            msg = jnp.zeros((gath.shape[0], c), jnp.float32)
-            for r in range(num_rel):
-                m = (rel == r).astype(dt)
-                msg += jnp.dot(gath * m, w_ref[r], preferred_element_type=jnp.float32)
+            if _BATCHED:
+                # All relations in ONE matmul: lane-concatenate the masked
+                # copies, contract against the vertically-stacked weights —
+                # Σ_r (gath ⊙ m_r) @ W_r == concat_r(gath ⊙ m_r) @
+                # vstack_r(W_r).
+                gath_stack = jnp.concatenate(
+                    [gath * (rel == r).astype(dt) for r in range(num_rel)], axis=1
+                )
+                msg = jnp.dot(
+                    gath_stack,
+                    w_ref[:].reshape(num_rel * c, c),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                msg = jnp.zeros((gath.shape[0], c), jnp.float32)
+                for r in range(num_rel):
+                    m = (rel == r).astype(dt)
+                    msg += jnp.dot(
+                        gath * m, w_ref[r], preferred_element_type=jnp.float32
+                    )
             # Scatter one-hot: S_u[w, e] = [lu[e] == w].
             s_u = (
                 jnp.transpose(lu)
@@ -88,12 +112,21 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    num_rel, nch_ref, feat_ref, g_ref, lu_ref, lv_ref, rel_ref, w_ref, dfeat_ref, dw_ref
+    num_rel,
+    nch_ref,
+    feat_ref,
+    g_ref,
+    lu_ref,
+    lv_ref,
+    rel_ref,
+    w_t_ref,
+    dfeat_ref,
+    dw_ref,
 ):
     win = feat_ref[:]
     g_win = g_ref[:]
     dt = win.dtype
-    stride = win.shape[0]
+    stride, c = win.shape
     ecap = lu_ref.shape[0]
     s = pl.program_id(0)
 
@@ -117,24 +150,41 @@ def _bwd_kernel(
             gath = jnp.dot(
                 _onehot(lv, stride, dt), win, preferred_element_type=jnp.float32
             ).astype(dt)
-            d_gath = jnp.zeros(gath.shape, jnp.float32)
-            for r in range(num_rel):
-                m = (rel == r).astype(dt)
-                # dW_r += (gath ⊙ m_r)ᵀ @ d_msg — relation masks are
-                # row-disjoint, so masking one side suffices.
-                dw_ref[r] += jax.lax.dot_general(
-                    gath * m,
+            # Relation masks are row-disjoint, so masking one side suffices:
+            #   dW_r = (gath ⊙ m_r)ᵀ @ d_msg;  d_gath = Σ_r (d_msg ⊙ m_r) @ W_rᵀ
+            # w_t_ref holds the per-relation transposes (hoisted to the
+            # caller so the kernel never transposes).
+            if _BATCHED:
+                gath_stack = jnp.concatenate(
+                    [gath * (rel == r).astype(dt) for r in range(num_rel)], axis=1
+                )
+                dw_ref[:] += jax.lax.dot_general(
+                    gath_stack,
                     d_msg,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                ).reshape(num_rel, c, c)
+                dmsg_stack = jnp.concatenate(
+                    [d_msg * (rel == r).astype(dt) for r in range(num_rel)], axis=1
                 )
-                # d_gath_r = (d_msg ⊙ m_r) @ W_rᵀ.
-                d_gath += jax.lax.dot_general(
-                    d_msg * m,
-                    w_ref[r],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
+                d_gath = jnp.dot(
+                    dmsg_stack,
+                    w_t_ref[:].reshape(num_rel * c, c),
                     preferred_element_type=jnp.float32,
                 )
+            else:
+                d_gath = jnp.zeros(gath.shape, jnp.float32)
+                for r in range(num_rel):
+                    m = (rel == r).astype(dt)
+                    dw_ref[r] += jax.lax.dot_general(
+                        gath * m,
+                        d_msg,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    d_gath += jnp.dot(
+                        d_msg * m, w_t_ref[r], preferred_element_type=jnp.float32
+                    )
             # d_win += G_vᵀ @ d_gath — scatter one-hot on the source side.
             s_v = (
                 jnp.transpose(lv)
@@ -217,7 +267,15 @@ def _pallas_bwd(num_scen, interpret, feat, g, w_rel, lu, lv, rel):
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(_num_chunks(lu, num_scen, ecap), feat, g, lu, lv, rel, w_rel)
+    )(
+        _num_chunks(lu, num_scen, ecap),
+        feat,
+        g,
+        lu,
+        lv,
+        rel,
+        jnp.transpose(w_rel, (0, 2, 1)),
+    )
 
 
 def xla_reference(feat, temp, w_rel, lu, lv, rel, num_scen: int):
