@@ -36,6 +36,7 @@ from lanegcn_tpu.data.packing import (
     _threshold_edges,
     pack_batch,
     build_window_plan,
+    window_chunked_edges,
     window_place,
 )
 from lanegcn_tpu.graph import RoiPackedBatch
@@ -484,8 +485,13 @@ def pack_roi_batch(
         edges[nm], dropped = _pad_edges(u, v, roi_cfg.edge_capacity(nm))
         stats[f"dropped_{nm}"] = dropped
 
-    def _fuse(u, v, cap, name, num_src=None):
-        if num_src is not None:
+    def _fuse(u, v, cap, name, num_src=None, dst_stride=None):
+        if num_src is not None and dst_stride and cap % 512 == 0:
+            # Destination windows exist: chunk-align per window so the
+            # LanePooling scatter runs as one-hot MXU matmuls
+            # (ops/pallas_window_scatter) instead of XLA's serial scatter.
+            es, dropped = window_chunked_edges(u, v, cap, dst_stride, num_src)
+        elif num_src is not None:
             es, dropped = _pad_edges_sorted(u, v, cap, num_src)
         else:
             es, dropped = _pad_edges(u, v, cap)
@@ -496,9 +502,16 @@ def pack_roi_batch(
     # Pool edges ride the destination-sorted layout: the LanePooling
     # scatter runs indices_are_sorted and the context-feature gather's
     # backward uses the source-sorted inverse (these are the two largest
-    # edge lists in the model — ~5k per scenario each way).
-    r2g = _fuse(pool_gv, pool_ru, roi_cfg.max_pool_edges, "r2g", m_cap)  # dest=global, src=roi
-    g2r = _fuse(pool_ru, pool_gv, roi_cfg.max_pool_edges, "g2r", g_cap)  # dest=roi, src=global
+    # edge lists in the model — ~5k per scenario each way). With windowed
+    # node layouts they are additionally chunk-aligned per dst window.
+    r2g = _fuse(
+        pool_gv, pool_ru, roi_cfg.max_pool_edges, "r2g", m_cap,
+        dst_stride=g_stride,
+    )  # dest=global, src=roi
+    g2r = _fuse(
+        pool_ru, pool_gv, roi_cfg.max_pool_edges, "g2r", g_cap,
+        dst_stride=stride,
+    )  # dest=roi, src=global
     a2r = _fuse(a2r_u, a2r_v, roi_cfg.max_a2r_edges, "a2r")
 
     batch = RoiPackedBatch(

@@ -44,6 +44,15 @@ class EdgeSet:
     mask: jax.Array  # [E] bool, False on padding
     inv_perm: jax.Array | None = None  # [E] int32 argsort of v, or None
     inv_dst: jax.Array | None = None  # [E] int32 sorted v (+ sentinel), or None
+    # Window-chunked layout (data/packing.py window_chunked_edges): when the
+    # destination array is windowed (node_stride layouts), the packer can
+    # additionally align each destination window's edge segment to
+    # 512-edge chunks so consumers scatter via the one-hot MXU kernel
+    # (ops/pallas_window_scatter) instead of XLA's serial-row scatter.
+    win_lu: jax.Array | None = None  # [E, 1] int32 window-local dst (-1 pad)
+    win_chunk: jax.Array | None = None  # [E/512] int32 dst window per chunk
+    win_first: jax.Array | None = None  # [E/512] int32 first-of-window flag
+    win_stride: int = struct.field(pytree_node=False, default=0)
 
     @property
     def capacity(self) -> int:

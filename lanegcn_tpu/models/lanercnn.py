@@ -138,10 +138,25 @@ class LanePooling(nn.Module):
 
         identity = target_feat
         tgt = Dense(self.n, use_bias=False, dtype=self.dtype, name="input")(target_feat)
-        tgt = scatter_add(
-            ctx, edges.u, tgt.shape[0], mask=edges.mask, out=tgt,
-            indices_are_sorted=edges.dst_sorted,
-        )
+        if edges.win_lu is not None:
+            # Window-chunked pool edges (data/packing.py window_chunked_edges):
+            # the ~936k-message scatter runs as one-hot MXU matmuls per
+            # 512-edge chunk (ops/pallas_window_scatter) — XLA's serial-row
+            # scatter (and its transpose-gather backward) leave the step.
+            from lanegcn_tpu.ops.pallas_window_scatter import window_scatter_add
+
+            wmode = (
+                "on" if jax.default_backend() in ("tpu", "axon") else "xla"
+            )
+            tgt = window_scatter_add(
+                ctx.astype(tgt.dtype), tgt, edges.win_lu, edges.win_chunk,
+                edges.win_first, edges.win_stride, mode=wmode,
+            )
+        else:
+            tgt = scatter_add(
+                ctx, edges.u, tgt.shape[0], mask=edges.mask, out=tgt,
+                indices_are_sorted=edges.dst_sorted,
+            )
         tgt = nn.relu(GroupNorm(name="norm")(tgt))
         tgt = Linear(self.n, dtype=self.dtype, name="mlp1")(tgt)
         tgt = Linear(self.n, act=False, dtype=self.dtype, name="mlp2")(tgt)
