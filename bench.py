@@ -259,7 +259,8 @@ def main():
     t0 = time.time()
     params, opt_state, m = train_step(params, opt_state, batches[0], 0.0)
     first_loss = float(m["loss"])  # value fetch: drains compile + execution
-    print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+    compile_train_s = time.time() - t0
+    print(f"# compile+first step: {compile_train_s:.1f}s", file=sys.stderr)
 
     # One drained step to estimate the real step time, then size the
     # measured window to ~20 s.
@@ -331,6 +332,7 @@ def main():
     # on 4 GPUs ≈ 600 scen/s aggregate — misc/train_log.txt). Always on
     # since round 3; disable with BENCH_INFER=0.
     infer_per_s = None
+    compile_eval_s = None
     if os.environ.get("BENCH_INFER", "1") != "0":
         from lanegcn_tpu.train.loop import make_eval_step
 
@@ -338,7 +340,8 @@ def main():
         t0 = time.time()
         out, m = eval_step(params, batches[0])
         _ = float(m["loss"])
-        print(f"# eval compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+        compile_eval_s = time.time() - t0
+        print(f"# eval compile+first: {compile_eval_s:.1f}s", file=sys.stderr)
         t0 = time.time()
         for i in range(iters):
             out, m = eval_step(params, batches[i % num_batches])
@@ -382,6 +385,7 @@ def main():
             to_device=True,
         )
         # Warm epoch (fills caches, compiles nothing new), then measure.
+        transfer_hidden_ms = None
         for ep in range(2):
             t0 = time.time()
             n = 0
@@ -391,9 +395,19 @@ def main():
             _ = float(m["loss"])  # drain
             dt = time.time() - t0
             e2e_per_s = n / dt
+            # The worker-thread transfer time per pack — the term a host
+            # with async DMA overlaps; on the axon relay it serializes
+            # with compute and explains device-rate vs e2e-rate
+            # (VERDICT r3 #7: pin the e2e decomposition with a number).
+            if loader.transfer_packs:
+                transfer_hidden_ms = (
+                    1e3 * loader.transfer_s / loader.transfer_packs
+                )
             print(
                 f"# e2e epoch {ep}: {n} scen in {dt:.2f}s → {e2e_per_s:.0f} "
-                f"scen/s (loader+pack+transfer+train, 1 pack worker)",
+                f"scen/s (loader+pack+transfer+train, 1 pack worker; "
+                f"worker-thread transfer "
+                f"{transfer_hidden_ms or 0:.1f} ms/pack)",
                 file=sys.stderr,
             )
 
@@ -404,15 +418,35 @@ def main():
         "vs_baseline": round(scen_per_s / BASELINE_SCEN_PER_S_PER_CHIP, 3),
         "overflow_edges_per_pack": occ["overflow"],
         "msg_edges_per_sec": round(edges_per_s, 0),
+        "step_ms": round(1e3 * dt / iters, 2),
+        "compile_train_s": round(compile_train_s, 1),
+        # Drop accounting (VERDICT r3 #4): every dropped_*/skipped_* packer
+        # counter, summed over the bench packs. Empty = zero drops.
+        "dropped": drops,
     }
+    if compile_eval_s is not None:
+        result["compile_eval_s"] = round(compile_eval_s, 1)
     if e2e_per_s is not None:
         result["e2e_scen_per_sec"] = round(e2e_per_s, 1)
+        if transfer_hidden_ms is not None:
+            result["transfer_hidden_ms_per_pack"] = round(transfer_hidden_ms, 1)
     if infer_per_s is not None:
         result["infer_scen_per_sec"] = round(infer_per_s, 1)
     if bw_roofline_pct is not None:
         result["pct_of_bw_roofline"] = round(bw_roofline_pct, 1)
     if mfu_pct is not None:
         result["mfu_pct_est"] = round(mfu_pct, 2)
+
+    # LaneRCNN block (VERDICT r3 #3): the second model family's perf in the
+    # same driver-captured artifact. Disable with BENCH_RCNN=0.
+    if os.environ.get("BENCH_RCNN", "1") != "0":
+        try:
+            from bench_lanercnn import run_bench as run_rcnn_bench
+
+            result["lanercnn"] = run_rcnn_bench()
+        except Exception as e:
+            print(f"# lanercnn bench failed: {e}", file=sys.stderr)
+            result["lanercnn"] = {"error": str(e)[:200]}
     print(json.dumps(result))
 
 

@@ -71,12 +71,15 @@ def bench_roi_config(scen: int = 512) -> RoiPackConfig:
     )
 
 
-def main():
-    scen = int(os.environ.get("BENCH_SCEN", "256"))
+def run_bench(scen: int | None = None, remat: bool | None = None) -> dict:
+    """Measure the LaneRCNN train step (drained protocol); returns the
+    result fields bench.py folds into its combined JSON (VERDICT r3 #3)."""
+    scen = scen or int(os.environ.get("BENCH_SCEN", "256"))
     # remat of the pooling stages trades recompute for memory; at the
     # right-sized capacities the 256-scenario pack fits WITHOUT remat and
     # runs 16% faster (419 vs 486 ms) — default off, BENCH_REMAT=1 opts in.
-    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    if remat is None:
+        remat = os.environ.get("BENCH_REMAT", "0") == "1"
     config = Config(roi_pack=bench_roi_config(scen))
     num_batches = 2
     scen_per_batch = config.roi_pack.max_scenarios
@@ -86,12 +89,15 @@ def main():
         num_batches * scen_per_batch, num_corridors=7, num_actors=12, urban=True
     )
     batches = []
+    all_drops: dict = {}
     for b in range(num_batches):
         scens = [ds[b * scen_per_batch + i] for i in range(scen_per_batch)]
         batch, stats = pack_roi_batch(scens, config.roi_pack, config.model)
         drops = {k: v for k, v in stats.items() if k.startswith("dropped") and v}
         assert stats["packed_scenarios"] == scen_per_batch, stats
         assert not drops, drops
+        for k, v in drops.items():
+            all_drops[k] = all_drops.get(k, 0) + v
         batches.append(jax.tree.map(jnp.asarray, batch))
     print(f"# packed {num_batches}x{scen_per_batch} scenarios ({time.time()-t0:.1f}s host)", file=sys.stderr)
 
@@ -106,7 +112,8 @@ def main():
     t0 = time.time()
     params, opt_state, m = train_step(params, opt_state, batches[0], 0.0)
     _ = float(m["loss"])  # value fetch: drains compile + execution
-    print(f"# compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"# compile+first step: {compile_s:.1f}s", file=sys.stderr)
 
     # One drained step to estimate real step time, then size the window.
     t0 = time.time()
@@ -124,18 +131,56 @@ def main():
     assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
 
     scen_per_s = scen_per_batch * iters / dt
+    step_ms = dt / iters * 1e3
     print(
-        f"# {iters} steps in {dt:.2f}s → {dt/iters*1e3:.2f} ms/step, "
+        f"# {iters} steps in {dt:.2f}s → {step_ms:.2f} ms/step, "
         f"{scen_per_s:.1f} scen/s (bf16 train fwd+bwd+adamw+metrics)",
         file=sys.stderr,
     )
+    result = {
+        "value": round(scen_per_s, 2),
+        "unit": "scenarios/s",
+        "vs_baseline": round(scen_per_s / BASELINE_SCEN_PER_S_PER_CHIP, 3),
+        "step_ms": round(step_ms, 2),
+        "compile_s": round(compile_s, 1),
+        "dropped": all_drops,
+    }
+    # Bandwidth roofline for the RoI step (same method as bench.py).
+    try:
+        lowered = train_step.lower(params, opt_state, batches[0], 0.0)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        byts = ca.get("bytes accessed", 0.0)
+        kind = jax.devices()[0].device_kind
+        from bench import PEAK_HBM_BW
+
+        bw = next(
+            (v for k, v in PEAK_HBM_BW.items() if k.lower() in kind.lower()),
+            819e9,
+        )
+        if byts:
+            floor = byts / bw
+            pct = 100.0 * floor / (dt / iters)
+            result["pct_of_bw_roofline"] = round(pct, 1)
+            print(
+                f"# roofline: {byts/1e9:.1f} GB/step → bw floor "
+                f"{floor*1e3:.1f} ms vs measured {step_ms:.1f} ms = "
+                f"{pct:.0f}%",
+                file=sys.stderr,
+            )
+    except Exception as e:  # cost analysis is backend-dependent
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+    return result
+
+
+def main():
+    r = run_bench()
     print(
         json.dumps(
             {
                 "metric": "lanercnn_train_scenarios_per_sec_per_chip",
-                "value": round(scen_per_s, 2),
-                "unit": "scenarios/s",
-                "vs_baseline": round(scen_per_s / BASELINE_SCEN_PER_S_PER_CHIP, 3),
+                **r,
             }
         )
     )

@@ -214,6 +214,7 @@ def cmd_train(args):
                 se = partition_roi_pack_edges(
                     batch, cfg, graph_n_req, slack=args.edge_shard_slack
                 )
+                stats["dropped_shard_edges"] = se.get("dropped_edges", 0)
                 return (batch, se), stats
 
         else:
@@ -229,13 +230,18 @@ def cmd_train(args):
                 se = partition_pack_edges(
                     batch, cfg, graph_n_req, slack=args.edge_shard_slack
                 )
+                stats["dropped_shard_edges"] = se.get("dropped_edges", 0)
                 return (batch, se), stats
 
         loader_kw["packer"] = _pack_and_partition
+    # Drop accounting (VERDICT r3 #4): every packer stats dict lands here;
+    # the display loop below aggregates dropped_*/skipped_*/spilled_* into
+    # the training log so capacity overflow is visible, not stdout-only.
+    drop_stats: list = []
     loader = _make_loader(
         dataset, config, args.model,
         shuffle=True, seed=config.train.seed, pack_workers=args.workers,
-        process_index=pi, process_count=pc,
+        process_index=pi, process_count=pc, drop_stats=drop_stats,
         # single-device: device transfers ride the pack workers so they
         # overlap the in-flight step (multi-host paths assemble global
         # arrays from host numpy instead)
@@ -431,6 +437,18 @@ def cmd_train(args):
                     # — the XLA-native form of the reference's MPI
                     # allgather (train.py:245-255).
                     s = acc.summary()
+                    # Aggregate packer drop counters accumulated since the
+                    # last display (window-chunk drops, plan spill, shard
+                    # overflow, capacity truncation) into the log line —
+                    # a skewed real-map run degrades visibly, not silently.
+                    drops: dict = {}
+                    for ds_ in drop_stats:
+                        for k, v in ds_.items():
+                            if v and k.startswith(
+                                ("dropped", "skipped", "spilled")
+                            ):
+                                drops[k] = drops.get(k, 0) + v
+                    drop_stats.clear()
                     if pi == 0:
                         print(
                             f"epoch {epoch:.3f} lr {float(metrics['lr']):.5f} "
@@ -438,6 +456,7 @@ def cmd_train(args):
                             f"ade1 {s['ade1']:.4f}, fde1 {s['fde1']:.4f}, "
                             f"ade {s['ade']:.4f}, fde {s['fde']:.4f}, "
                             f"time {time.time() - t0:.2f}"
+                            + (f", dropped {drops}" if drops else "")
                         )
                     acc.reset()
                     t0 = time.time()

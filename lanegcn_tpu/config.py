@@ -166,6 +166,14 @@ class RoiPackConfig:
     global_node_stride: int | None = None
     global_plan_edges: int = 0
     table_relations: Tuple[str, ...] = ("left", "right")
+    # Chunk-align the pool edges (r2g/g2r) per destination window so the
+    # LanePooling scatter runs via ops/pallas_window_scatter (one-hot MXU
+    # matmuls). Alignment padding costs up to chunk-1 slots per occupied
+    # destination window, so a max_pool_edges that fit the flat layout can
+    # overflow here — the packer warns loudly when that drops edges; set
+    # False to keep the flat destination-sorted layout. Only takes effect
+    # with windowed layouts (node_stride set, capacity chunk-divisible).
+    window_pool_edges: bool = True
 
     @property
     def g_stride(self):

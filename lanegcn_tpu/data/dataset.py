@@ -149,6 +149,14 @@ class PackedLoader:
         self.pack_workers = pack_workers
         self.shard_window = shard_window
         self.to_device = to_device
+        # Worker-thread seconds spent on host→device transfers (to_device
+        # mode), reset per epoch() call. This is the transfer time HIDDEN
+        # behind compute on a host with async DMA; on the axon relay it is
+        # the serialized-transfer term that explains device-rate vs e2e-rate
+        # (docs/PERFORMANCE.md "Host packing / e2e"). bench.py publishes it
+        # as transfer_hidden_ms_per_pack.
+        self.transfer_s = 0.0
+        self.transfer_packs = 0
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         """Epoch scenario order: full Fisher-Yates for in-memory datasets;
@@ -188,6 +196,8 @@ class PackedLoader:
         order-preserving fashion (numpy/C kernels release the GIL, so 2-4
         workers keep a fast device fed)."""
         order = self._epoch_order(epoch)
+        self.transfer_s = 0.0
+        self.transfer_packs = 0
         scen_per_pack = self.scen_per_pack
         groups = [
             order[i : i + scen_per_pack].tolist()
@@ -200,10 +210,16 @@ class PackedLoader:
             if self.drop_stats is not None:
                 self.drop_stats.append(stats)
             if self.to_device:
+                import time
+
                 import jax
                 import jax.numpy as jnp
 
+                t0 = time.time()
                 batch = jax.tree.map(jnp.asarray, batch)
+                jax.block_until_ready(batch)
+                self.transfer_s += time.time() - t0
+                self.transfer_packs += 1
             return batch
 
         if self.pack_workers > 1:

@@ -15,6 +15,7 @@ plus per-scenario offset arithmetic.
 
 from __future__ import annotations
 
+import warnings
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -485,12 +486,30 @@ def pack_roi_batch(
         edges[nm], dropped = _pad_edges(u, v, roi_cfg.edge_capacity(nm))
         stats[f"dropped_{nm}"] = dropped
 
+    from lanegcn_tpu.ops.pallas_window_scatter import _WCHUNK
+
     def _fuse(u, v, cap, name, num_src=None, dst_stride=None):
-        if num_src is not None and dst_stride and cap % 512 == 0:
+        window = (
+            roi_cfg.window_pool_edges
+            and num_src is not None
+            and dst_stride
+            and cap % _WCHUNK == 0
+        )
+        if window:
             # Destination windows exist: chunk-align per window so the
             # LanePooling scatter runs as one-hot MXU matmuls
             # (ops/pallas_window_scatter) instead of XLA's serial scatter.
+            # Alignment padding means a capacity that fit the flat layout
+            # can drop edges here — warn loudly, don't just count.
             es, dropped = window_chunked_edges(u, v, cap, dst_stride, num_src)
+            if dropped:
+                warnings.warn(
+                    f"window-chunked {name} edges dropped {dropped} of "
+                    f"{len(u)} (capacity {cap}, chunk {_WCHUNK}): raise "
+                    f"max_pool_edges or set RoiPackConfig."
+                    f"window_pool_edges=False (training-signal change)",
+                    stacklevel=2,
+                )
         elif num_src is not None:
             es, dropped = _pad_edges_sorted(u, v, cap, num_src)
         else:

@@ -60,7 +60,12 @@ class EdgeSet:
 
     @property
     def dst_sorted(self) -> bool:
-        return self.inv_perm is not None
+        """True iff u (with mask-sentinel substitution) is non-decreasing —
+        the contract scatter_add(indices_are_sorted=...) relies on. Window-
+        chunked layouts intersperse padding holes mid-array (their sentinel
+        substitution is NOT sorted), so they are excluded; consumers reach
+        them through win_lu / the one-hot window kernel instead."""
+        return self.inv_perm is not None and self.win_lu is None
 
     def num_valid(self) -> jax.Array:
         return jnp.sum(self.mask.astype(jnp.int32))

@@ -147,14 +147,14 @@ def _window_scatter_p(msg, temp, lu, wchunk, first, stride, interpret):
 
 def _ws_fwd(msg, temp, lu, wchunk, first, stride, interpret):
     out = _pallas_fwd(stride, interpret, msg, temp, lu, wchunk, first)
-    return out, (lu, wchunk)
+    return out, (lu, wchunk, first.shape)
 
 
 def _ws_bwd(stride, interpret, res, g):
-    lu, wchunk = res
+    lu, wchunk, first_shape = res
     dmsg = _pallas_bwd(stride, interpret, g, lu, wchunk, g.dtype)
-    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return (dmsg, g, f0(lu), f0(wchunk), f0(wchunk))
+    f0 = lambda s: np.zeros(s, jax.dtypes.float0)
+    return (dmsg, g, f0(lu.shape), f0(wchunk.shape), f0(first_shape))
 
 
 _window_scatter_p.defvjp(_ws_fwd, _ws_bwd)

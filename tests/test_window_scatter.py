@@ -61,7 +61,17 @@ def test_packer_invariants():
     changes = np.nonzero(np.diff(wc))[0] + 1
     starts = set(changes.tolist()) | {0}
     # every flagged chunk is a window start; tail repeats have first == 0
-    assert set(np.nonzero(first)[0].tolist()) <= starts
+    flagged = set(np.nonzero(first)[0].tolist())
+    assert flagged <= starts
+    # ...and the other direction: the first chunk of every occupied
+    # window run MUST be flagged, or the kernel would accumulate into a
+    # stale VMEM block (ADVICE r3: one-directional check missed this).
+    occupied_starts = {
+        i for i in starts if per_chunk_m[i].any()
+    }
+    assert occupied_starts <= flagged, (
+        sorted(occupied_starts - flagged), "unflagged occupied window starts"
+    )
 
 
 def test_xla_reference_matches_plain_scatter():
