@@ -127,9 +127,15 @@ def bench_pack_config(num_scen: int | None = None) -> PackConfig:
             for f, i in zip((2, 2, 2, 2, 2), range(1, 6))
         ),
         max_edges_lr=max(32 * s, 512),
-        max_a2m_edges=96 * s,
-        max_m2a_edges=96 * s,
+        # Round 4: window-pair chunked fusion plans (ops/pallas_win_edge) —
+        # capacities carry the chunk-alignment padding (~1 partially-filled
+        # chunk per (dst-window, src-window) pair), sized to measured
+        # occupancy at zero drops.
+        max_a2m_edges=160 * s,
+        max_m2a_edges=160 * s,
         max_a2a_edges=64 * s,
+        actor_stride=int(os.environ.get("BENCH_ACTOR_STRIDE", "128")),
+        fusion_pairs=os.environ.get("BENCH_FUSION_PAIRS", "1") == "1",
     )
 
 
@@ -151,7 +157,9 @@ def make_batches(config: Config, num_batches: int, scen_per_batch: int):
         if b == 0:
             stats = dict(stats, **occupancy(batch))  # host numpy, pre-transfer
             stats["edges_total"] = count_edges(batch)
-        batches.append(jax.tree.map(jnp.asarray, batch))
+        from lanegcn_tpu.data.blob import device_put_blob
+
+        batches.append(device_put_blob(batch))
         jax.block_until_ready(batches[-1])
         print(
             f"# pack {b}: gen {t1 - t0:.1f}s, pack {t2 - t1:.1f}s, "

@@ -111,6 +111,18 @@ class PackConfig:
     # measured faster: the table backward was a 262k-row sorted scatter per
     # layer, the plan adds only one-hot matmul columns.
     table_relations: Tuple[str, ...] = ("left", "right")
+    # WINDOWED actor layout (mirrors node_stride): actors are placed
+    # window-aligned first-fit into actor_stride-row windows. Required for
+    # the fusion pair plans. Requires max_actors % actor_stride == 0.
+    actor_stride: int | None = None
+    # Emit window-pair chunked fusion-edge plans (graph.PairPlan) for the
+    # fused Att kernel (ops/pallas_win_edge). Requires node_stride +
+    # actor_stride. Capacities are the max_*_edges knobs rounded down to
+    # pair_chunk multiples; chunk-alignment padding means the same knob
+    # admits fewer edges than the flat EdgeSet (size accordingly — overflow
+    # drops edges with a dropped_pair_* counter, same policy as the lists).
+    fusion_pairs: bool = False
+    pair_chunk: int = 128
 
     @property
     def table_edge_capacity(self) -> int:

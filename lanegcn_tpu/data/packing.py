@@ -13,7 +13,14 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from lanegcn_tpu.config import ModelConfig, PackConfig, band_shift, relation_names
-from lanegcn_tpu.graph import ActorBatch, EdgeSet, FusionEdges, LaneGraphBatch, PackedBatch
+from lanegcn_tpu.graph import (
+    ActorBatch,
+    EdgeSet,
+    FusionEdges,
+    LaneGraphBatch,
+    PackedBatch,
+    PairPlan,
+)
 
 
 def _pad_edges(u: np.ndarray, v: np.ndarray, capacity: int) -> Tuple[EdgeSet, int]:
@@ -499,6 +506,102 @@ def build_window_plan(
     return plan_lu, plan_lv, plan_rel
 
 
+def build_pair_plan(
+    u: np.ndarray,
+    v: np.ndarray,
+    dst_stride: int,
+    src_stride: int,
+    capacity: int,
+    chunk: int,
+) -> Tuple[Dict[str, np.ndarray], int]:
+    """Window-pair chunked edge layout for ops/pallas_win_edge.
+
+    Groups edges by (destination window, source window) pair, sorts groups
+    by (dwin, swin), and lays each group out in chunk-aligned slots so every
+    chunk's edges share ONE window pair (the kernel's locality unit; local
+    indices are u % dst_stride / v % src_stride). Also emits the chunk
+    permutation sorted by (swin, dwin) for the backward's source-side pass.
+    Edges past `capacity // chunk` chunks are dropped (returned count).
+    """
+    nc = max(capacity // chunk, 1)
+    lu = np.full((nc * chunk, 1), -1, np.int32)
+    lv = np.full((nc * chunk, 1), -1, np.int32)
+    dwin_c = np.zeros(nc, np.int32)
+    swin_c = np.zeros(nc, np.int32)
+    first_c = np.zeros(nc, np.int32)
+    dropped = 0
+    used = 0
+    if len(u):
+        u = np.asarray(u, np.int64)
+        v = np.asarray(v, np.int64)
+        dw = u // dst_stride
+        sw = v // src_stride
+        order = np.lexsort((sw, dw))
+        dw_s, sw_s = dw[order], sw[order]
+        key = dw_s << np.int64(31) | sw_s
+        newgrp = np.ones(len(order), bool)
+        newgrp[1:] = key[1:] != key[:-1]
+        grp_id = np.cumsum(newgrp) - 1
+        grp_start = np.nonzero(newgrp)[0]
+        grp_cnt = np.diff(np.append(grp_start, len(order)))
+        g_chunks = -(-grp_cnt // chunk)
+        g_chunk_start = np.concatenate([[0], np.cumsum(g_chunks)])
+        pos_in_grp = np.arange(len(order), dtype=np.int64) - grp_start[grp_id]
+        chunk_of_edge = g_chunk_start[grp_id] + pos_in_grp // chunk
+        fit = chunk_of_edge < nc
+        dropped = int((~fit).sum())
+        sel = order[fit]
+        slots = (chunk_of_edge * chunk + pos_in_grp % chunk)[fit]
+        lu[slots, 0] = u[sel] % dst_stride
+        lv[slots, 0] = v[sel] % src_stride
+        used = min(int(g_chunk_start[-1]), nc)
+        if used:
+            ch_ids = np.arange(used)
+            g_of_chunk = np.searchsorted(g_chunk_start, ch_ids, side="right") - 1
+            dwin_c[:used] = dw_s[grp_start[g_of_chunk]]
+            swin_c[:used] = sw_s[grp_start[g_of_chunk]]
+            first_c[0] = 1
+            first_c[1:used] = dwin_c[1:used] != dwin_c[: used - 1]
+            # Inactive tail chunks ride the last active destination window
+            # (their one-hot rows are all zero, so they accumulate nothing);
+            # keeping the index consecutive avoids a block revisit.
+            dwin_c[used:] = dwin_c[used - 1]
+            swin_c[used:] = swin_c[used - 1]
+    if used == 0:
+        # Degenerate plan: chunk 0 must still initialize block 0 (the fwd
+        # writes temp, the bwd writes zeros) — all other blocks keep their
+        # aliased inputs.
+        first_c[0] = 1
+    # Source-side order: active chunks sorted by (swin, dwin), inactive last
+    # (they point at the final active swin, consecutive with its run).
+    act = np.arange(nc) < max(used, 1)
+    sperm = np.concatenate([
+        np.lexsort((dwin_c[:max(used, 1)], swin_c[:max(used, 1)])),
+        np.arange(max(used, 1), nc),
+    ]).astype(np.int32)
+    sswin = swin_c[sperm].copy()
+    if used:
+        sswin[used:] = sswin[used - 1]
+    sfirst = np.zeros(nc, np.int32)
+    sfirst[0] = 1
+    if nc > 1:
+        sfirst[1:max(used, 1)] = (
+            sswin[1:max(used, 1)] != sswin[: max(used, 1) - 1]
+        )
+    del act
+    plan = {
+        "lu": lu,
+        "lv": lv,
+        "dwin": dwin_c,
+        "swin": swin_c,
+        "first": first_c,
+        "sperm": sperm,
+        "sswin": sswin,
+        "sfirst": sfirst,
+    }
+    return plan, dropped
+
+
 def pack_batch(
     scenarios: Sequence[Dict],
     pack_cfg: PackConfig,
@@ -556,6 +659,15 @@ def pack_batch(
             f"windowed layout requires max_nodes ({n_cap}) to be a "
             f"multiple of node_stride ({stride})"
         )
+    astride = pack_cfg.actor_stride
+    if astride is not None:
+        assert a_cap % astride == 0, (
+            f"windowed actor layout requires max_actors ({a_cap}) to be a "
+            f"multiple of actor_stride ({astride})"
+        )
+    fusion_pairs = bool(
+        pack_cfg.fusion_pairs and stride is not None and astride is not None
+    )
     plan_cap = pack_cfg.max_plan_edges if (scenario_plan and stride) else 0
     n_windows = (n_cap // stride) if stride else 0
     t_hist, t_pred = model_cfg.num_hist, model_cfg.num_preds
@@ -577,6 +689,7 @@ def pack_batch(
     na_list: List[int] = []
     nn_list: List[int] = []
     start_list: List[int] = []
+    a_start_list: List[int] = []
     a_off = n_off = 0
     for scen in scenarios:
         if len(accepted) >= b_cap:
@@ -585,7 +698,8 @@ def pack_batch(
         cache = precompute_pack_cache(scen, model_cfg)
         na, nn = cache["na"], cache["nn"]
         start = window_place(n_off, nn, stride)
-        if na == 0 or a_off + na > a_cap or start + nn > n_cap:
+        a_start = window_place(a_off, na, astride)
+        if na == 0 or a_start + na > a_cap or start + nn > n_cap:
             stats["skipped_scenarios"] += 1
             continue
         stats["seq_ids"].append(int(scen.get("seq_id", len(accepted))))
@@ -594,7 +708,8 @@ def pack_batch(
         na_list.append(na)
         nn_list.append(nn)
         start_list.append(start)
-        a_off += na
+        a_start_list.append(a_start)
+        a_off = a_start + na
         n_off = start + nn
     si = len(accepted)
     stats["packed_scenarios"] = si
@@ -602,10 +717,8 @@ def pack_batch(
     stats["num_nodes"] = n_off
     na_arr = np.asarray(na_list, np.int64)
     nn_arr = np.asarray(nn_list, np.int64)
-    a_offs = np.zeros(si, np.int64)
+    a_offs = np.asarray(a_start_list, np.int64)
     n_offs = np.asarray(start_list, np.int64)
-    if si:
-        np.cumsum(na_arr[:-1], out=a_offs[1:])
 
     # --- vectorized assembly ---
     actor_feats = np.zeros((a_cap, t_hist, 3), np.float32)
@@ -631,15 +744,22 @@ def pack_batch(
     num_rel = len(names)
     t_a = 3 * t_hist  # actor_blob column boundaries
     if si:
-        A, N = a_off, int(nn_arr.sum())  # N = concatenated node rows (the
-        # packed span n_off additionally counts window-alignment gaps)
+        A, N = int(na_arr.sum()), int(nn_arr.sum())  # concatenated rows (the
+        # packed spans a_off/n_off additionally count window-alignment gaps)
         ablob = np.concatenate([c["actor_blob"] for c in accepted])
-        actor_feats[:A] = ablob[:, :t_a].reshape(A, t_hist, 3)
-        actor_ctrs[:A] = ablob[:, t_a : t_a + 2]
-        actor_mask[:A] = True
-        actor_scen[:A] = np.repeat(np.arange(si, dtype=np.int32), na_arr)
-        gt_preds[:A] = ablob[:, t_a + 2 : t_a + 2 + 2 * t_pred].reshape(A, t_pred, 2)
-        has_preds[:A] = ablob[:, t_a + 2 + 2 * t_pred :] > 0.5
+        # Destination row per concatenated actor: contiguous, or strided by
+        # scenario (actor_stride layout — mirrors the node windows below).
+        contig_a = np.zeros(si, np.int64)
+        np.cumsum(na_arr[:-1], out=contig_a[1:])
+        a_rows = np.repeat(a_offs, na_arr) + (
+            np.arange(A, dtype=np.int64) - np.repeat(contig_a, na_arr)
+        )
+        actor_feats[a_rows] = ablob[:, :t_a].reshape(A, t_hist, 3)
+        actor_ctrs[a_rows] = ablob[:, t_a : t_a + 2]
+        actor_mask[a_rows] = True
+        actor_scen[a_rows] = np.repeat(np.arange(si, dtype=np.int32), na_arr)
+        gt_preds[a_rows] = ablob[:, t_a + 2 : t_a + 2 + 2 * t_pred].reshape(A, t_pred, 2)
+        has_preds[a_rows] = ablob[:, t_a + 2 + 2 * t_pred :] > 0.5
 
         nblob = np.concatenate([c["node_blob"] for c in accepted])
         # Destination row per concatenated node: contiguous, or strided by
@@ -760,19 +880,65 @@ def pack_batch(
 
     f_off = np.zeros(4, np.int64)
     np.cumsum(per_fus, out=f_off[1:])
-    fusion = FusionEdges(
-        a2m=_fuse(
-            fus_u[: f_off[1]], fus_v[: f_off[1]], pack_cfg.max_a2m_edges, "a2m", a_cap
-        ),
-        m2a=_fuse(
+
+    def _pair(u, v, d_stride, s_stride, cap, name):
+        plan, dropped = build_pair_plan(
+            u, v, d_stride, s_stride, cap, pack_cfg.pair_chunk
+        )
+        stats[f"dropped_pair_{name}"] = dropped
+        return PairPlan(
+            idx=np.concatenate([plan["lu"], plan["lv"]], axis=1),
+            meta=np.stack([
+                plan["dwin"], plan["swin"], plan["first"],
+                plan["sperm"], plan["sswin"], plan["sfirst"],
+            ]),
+            chunk=pack_cfg.pair_chunk,
+            dst_stride=d_stride,
+            src_stride=s_stride,
+        )
+
+    pair_a2m = pair_m2a = pair_a2a = None
+    if fusion_pairs:
+        pair_a2m = _pair(
+            fus_u[: f_off[1]], fus_v[: f_off[1]], stride, astride,
+            pack_cfg.max_a2m_edges, "a2m",
+        )
+        pair_m2a = _pair(
             fus_u[f_off[1] : f_off[2]], fus_v[f_off[1] : f_off[2]],
-            pack_cfg.max_m2a_edges, "m2a", n_cap,
-        ),
-        a2a=_fuse(
+            astride, stride, pack_cfg.max_m2a_edges, "m2a",
+        )
+        pair_a2a = _pair(
             fus_u[f_off[2] : f_off[3]], fus_v[f_off[2] : f_off[3]],
-            pack_cfg.max_a2a_edges, "a2a", a_cap,
-        ),
-    )
+            astride, astride, pack_cfg.max_a2a_edges, "a2a",
+        )
+    if fusion_pairs:
+        # The pair plans carry ALL fusion edges (pairs are arbitrary window
+        # combinations, so nothing spills); the EdgeSets would be dead
+        # weight in the transfer — emit minimal shells.
+        z = np.zeros(0, np.int64)
+        fusion = FusionEdges(
+            a2m=_pad_edges(z, z, 8)[0],
+            m2a=_pad_edges(z, z, 8)[0],
+            a2a=_pad_edges(z, z, 8)[0],
+            pair_a2m=pair_a2m,
+            pair_m2a=pair_m2a,
+            pair_a2a=pair_a2a,
+        )
+    else:
+        fusion = FusionEdges(
+            a2m=_fuse(
+                fus_u[: f_off[1]], fus_v[: f_off[1]], pack_cfg.max_a2m_edges,
+                "a2m", a_cap,
+            ),
+            m2a=_fuse(
+                fus_u[f_off[1] : f_off[2]], fus_v[f_off[1] : f_off[2]],
+                pack_cfg.max_m2a_edges, "m2a", n_cap,
+            ),
+            a2a=_fuse(
+                fus_u[f_off[2] : f_off[3]], fus_v[f_off[2] : f_off[3]],
+                pack_cfg.max_a2a_edges, "a2a", a_cap,
+            ),
+        )
 
     batch = PackedBatch(
         actors=ActorBatch(feats=actor_feats, ctrs=actor_ctrs, mask=actor_mask, scen=actor_scen),

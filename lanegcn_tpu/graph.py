@@ -72,6 +72,68 @@ class EdgeSet:
 
 
 @struct.dataclass
+class PairPlan:
+    """Window-pair chunked edge layout for ops/pallas_win_edge.
+
+    Edges are grouped by (destination window, source window) pair and laid
+    out in chunk-aligned slots (data/packing.py build_pair_plan). Chunks are
+    sorted by (dwin, swin) so destination-window runs are contiguous (the
+    kernel accumulates into a VMEM-resident destination block across its
+    consecutive chunks); `sperm` re-orders the same chunks by (swin, dwin)
+    for the backward's source-side pass. NC = capacity // chunk.
+    """
+
+    # Two consolidated leaves (the axon relay pays high per-array transfer
+    # latency, so the plan ships as 2 arrays instead of 8):
+    # idx[:, 0] = window-local dst row, idx[:, 1] = window-local src row
+    # (-1 padding); meta rows = dwin, swin, first, sperm, sswin, sfirst.
+    idx: jax.Array  # [NC*chunk, 2] int32
+    meta: jax.Array  # [6, NC] int32
+    chunk: int = struct.field(pytree_node=False, default=128)
+    dst_stride: int = struct.field(pytree_node=False, default=0)
+    src_stride: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def lu(self) -> jax.Array:
+        return self.idx[:, 0:1]
+
+    @property
+    def lv(self) -> jax.Array:
+        return self.idx[:, 1:2]
+
+    @property
+    def dwin(self) -> jax.Array:
+        return self.meta[0]
+
+    @property
+    def swin(self) -> jax.Array:
+        return self.meta[1]
+
+    @property
+    def first(self) -> jax.Array:
+        return self.meta[2]
+
+    @property
+    def sperm(self) -> jax.Array:
+        return self.meta[3]
+
+    @property
+    def sswin(self) -> jax.Array:
+        return self.meta[4]
+
+    @property
+    def sfirst(self) -> jax.Array:
+        return self.meta[5]
+
+    @property
+    def num_chunks(self) -> int:
+        return self.meta.shape[1]
+
+    def num_valid(self) -> jax.Array:
+        return jnp.sum((self.idx[:, 0] >= 0).astype(jnp.int32))
+
+
+@struct.dataclass
 class ActorBatch:
     """All actors of a pack, concatenated (reference actor_gather lanegcn.py:155)."""
 
@@ -151,6 +213,13 @@ class FusionEdges:
     a2m: EdgeSet
     m2a: EdgeSet
     a2a: EdgeSet
+    # Window-pair chunked layouts (PackConfig.fusion_pairs + actor_stride):
+    # when present, Att aggregates via the fused window-pair kernel
+    # (ops/pallas_win_edge) and the EdgeSets above serve the spill-free
+    # reference/multi-chip paths.
+    pair_a2m: PairPlan | None = None
+    pair_m2a: PairPlan | None = None
+    pair_a2a: PairPlan | None = None
 
 
 @struct.dataclass

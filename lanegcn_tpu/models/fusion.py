@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from lanegcn_tpu.config import ModelConfig
-from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch
+from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch, PairPlan
+from lanegcn_tpu.ops.pallas_win_edge import win_edge_mlp
 from lanegcn_tpu.models.layers import (
     Dense,
     DenseParams,
@@ -84,9 +85,45 @@ class Att(nn.Module):
         ctx: jax.Array,  # [C, n_ctx] source features
         ctx_ctrs: jax.Array,  # [C, 2]
         edges: EdgeSet,  # u → agts rows, v → ctx rows
+        pair: PairPlan | None = None,  # window-pair plan of the SAME edges
     ) -> jax.Array:
         res = agts
         num_agts = agts.shape[0]
+
+        if pair is not None and self.n_agt == self.n_ctx:
+            # Window-pair fused path (ops/pallas_win_edge): the dist
+            # embedding is affine in the endpoint centers (d@Wd = ctr_u@Wd −
+            # ctr_v@Wd), so every per-edge input folds into dense per-row
+            # projections and the gathers + edge MLP + destination scatter
+            # run in one kernel over (dst-window, src-window) chunk pairs —
+            # no [E, C] HBM round-trips. Same param tree as the other
+            # branches (checkpoint-compatible).
+            c = self.n_ctx
+            dt = self.dtype
+            kd, bd = DenseParams(2, c, name="dist_dense")()
+            kdo, gdow, gdob = LinearParams(c, c, name="dist_out")()
+            k_ch, gchw, gchb = LinearParams(3 * c, self.n_agt, name="ctx_hidden")()
+            kout, _ = DenseParams(self.n_agt, self.n_agt, use_bias=False, name="ctx_out")()
+            query_all = Linear(self.n_ctx, dtype=dt, name="query")(agts)
+            pd = jnp.dot(agt_ctrs.astype(dt), kd.astype(dt))
+            ps = -jnp.dot(ctx_ctrs.astype(dt), kd.astype(dt))
+            qd = jnp.dot(query_all.astype(dt), k_ch[c : 2 * c].astype(dt))
+            cs = jnp.dot(ctx.astype(dt), k_ch[2 * c :].astype(dt))
+            temp = Dense(self.n_agt, use_bias=False, dtype=dt, name="agt")(agts)
+            mode = self.pallas_edge
+            if mode == "auto":
+                mode = "on" if jax.default_backend() in ("tpu", "axon") else "xla"
+            elif mode not in ("on", "interpret"):
+                mode = "xla"
+            agts = win_edge_mlp(
+                pd, qd, ps, cs, temp.astype(dt), bd, kdo, gdow, gdob,
+                k_ch[:c], gchw, gchb, kout, pair,
+                has_dist2=True, has_query=True, mode=mode,
+            )
+            agts = nn.relu(GroupNorm(name="norm")(agts))
+            agts = Linear(self.n_agt, act=False, dtype=dt, name="linear")(agts)
+            return nn.relu(agts + res)
+
         srt = edges.dst_sorted
 
         # Per-edge relative offset → dist embedding (ctrs are batch data —
@@ -173,6 +210,7 @@ class A2M(nn.Module):
         actors: jax.Array,
         actor_ctrs: jax.Array,
         a2m_edges: EdgeSet,
+        pair: PairPlan | None = None,
     ) -> jax.Array:
         meta = jnp.concatenate(
             [graph.turn, graph.control[:, None], graph.intersect[:, None]], axis=-1
@@ -183,7 +221,7 @@ class A2M(nn.Module):
         for i in range(self.cfg.num_att_layers):
             nodes = Att(self.cfg.n_map, self.cfg.n_actor, dtype=self.dtype,
                         pallas_edge=self.cfg.pallas_edge, name=f"att{i}")(
-                nodes, graph.ctrs, actors, actor_ctrs, a2m_edges
+                nodes, graph.ctrs, actors, actor_ctrs, a2m_edges, pair
             )
         return nodes
 
@@ -217,11 +255,12 @@ class M2A(nn.Module):
         nodes: jax.Array,
         node_ctrs: jax.Array,
         m2a_edges: EdgeSet,
+        pair: PairPlan | None = None,
     ) -> jax.Array:
         for i in range(self.cfg.num_att_layers):
             actors = Att(self.cfg.n_actor, self.cfg.n_map, dtype=self.dtype,
                          pallas_edge=self.cfg.pallas_edge, name=f"att{i}")(
-                actors, actor_ctrs, nodes, node_ctrs, m2a_edges
+                actors, actor_ctrs, nodes, node_ctrs, m2a_edges, pair
             )
         return actors
 
@@ -233,10 +272,16 @@ class A2A(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, actors: jax.Array, actor_ctrs: jax.Array, a2a_edges: EdgeSet) -> jax.Array:
+    def __call__(
+        self,
+        actors: jax.Array,
+        actor_ctrs: jax.Array,
+        a2a_edges: EdgeSet,
+        pair: PairPlan | None = None,
+    ) -> jax.Array:
         for i in range(self.cfg.num_att_layers):
             actors = Att(self.cfg.n_actor, self.cfg.n_actor, dtype=self.dtype,
                          pallas_edge=self.cfg.pallas_edge, name=f"att{i}")(
-                actors, actor_ctrs, actors, actor_ctrs, a2a_edges
+                actors, actor_ctrs, actors, actor_ctrs, a2a_edges, pair
             )
         return actors

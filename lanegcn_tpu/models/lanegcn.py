@@ -43,13 +43,17 @@ class LaneGCN(nn.Module):
         nodes = MapNet(cfg, dtype=self.dtype, name="map_net")(batch.graph)
 
         nodes = A2M(cfg, dtype=self.dtype, name="a2m")(
-            nodes, batch.graph, actors, actor_ctrs, batch.fusion.a2m
+            nodes, batch.graph, actors, actor_ctrs, batch.fusion.a2m,
+            batch.fusion.pair_a2m,
         )
         nodes = M2M(cfg, dtype=self.dtype, name="m2m")(nodes, batch.graph)
         actors = M2A(cfg, dtype=self.dtype, name="m2a")(
-            actors, actor_ctrs, nodes, batch.graph.ctrs, batch.fusion.m2a
+            actors, actor_ctrs, nodes, batch.graph.ctrs, batch.fusion.m2a,
+            batch.fusion.pair_m2a,
         )
-        actors = A2A(cfg, dtype=self.dtype, name="a2a")(actors, actor_ctrs, batch.fusion.a2a)
+        actors = A2A(cfg, dtype=self.dtype, name="a2a")(
+            actors, actor_ctrs, batch.fusion.a2a, batch.fusion.pair_a2a
+        )
 
         cls, reg = PredNet(cfg, dtype=self.dtype, name="pred_net")(actors, actor_ctrs)
 

@@ -1,0 +1,557 @@
+"""Pallas TPU kernel: window-pair fused edge aggregation (Att / LanePooling).
+
+The fusion-stage edge chains (reference lanegcn.py:693-710 Att,
+lanercnn.py:497-505 LanePooling) are per-edge maps
+
+    t1 = relu(Pd[lu] + Ps[lv] + bd)          # dist/rel-pose embed (folded)
+    t2 = relu(GN(t1 @ Wdo))                  # Att only (dist_out Linear)
+    s  = t2 @ K1 + Cs[lv] (+ Qd[lu])         # gathered projections
+    e1 = relu(GN(s)); e2 = e1 @ Wout
+    out[lu] += e2                            # destination scatter
+
+followed by a dense row-local tail (GN → Linear → residual) outside. The
+distance embedding is AFFINE in the endpoint rows (d = ctr_u − ctr_v, so
+d@Wd = ctr_u@Wd − ctr_v@Wd), so the caller folds it into dense per-row
+projections Pd/Ps (signs included) and every per-edge input becomes a row
+gather. With the packer's window-pair chunked edge layout
+(data/packing.py build_pair_plan — each chunk's edges share ONE
+(destination window, source window) pair), the whole chain runs per chunk
+on VMEM-resident window blocks:
+
+    gathers   = one-hot(lu) @ dst-window payloads, one-hot(lv) @ src-window
+    chain     = the MLP above, entirely in VMEM
+    scatter   = Σ_e one-hot(lu)[e,:]ᵀ e2[e] accumulated into the
+                destination block (revisited across its consecutive chunks)
+
+so the [E, C] intermediates and the qg/cg/d gathers and the destination
+scatter NEVER touch HBM — this replaces masked_gather + fused_edge_mlp +
+scatter_add (three [E, C] HBM round-trips each way) for planned edges.
+
+The custom VJP runs two passes over the same chunks: a dwin-sorted pass
+that recomputes the chain, accumulates parameter gradients and the
+destination-side cotangents (d_Pd, d_Qd), and saves the per-edge
+cotangents d_s / d_t1p to HBM; then an swin-sorted pass (plan.sperm) that
+scatters those into the source-side cotangents (d_Ps, d_Cs). Both passes
+accumulate into aliased zero buffers with first-flag initialization, the
+same protocol as ops/pallas_scenario_agg.
+
+Padding edges (lu = −1) have all-zero one-hot rows: their chain output is
+a data-independent constant row the scatter drops, and their incoming
+cotangent is zero — exactly the masked-scatter semantics of the unfused
+path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+def _onehot(idx_col: jax.Array, width: int, dtype) -> jax.Array:
+    iota = jax.lax.broadcasted_iota(jnp.int32, (idx_col.shape[0], width), 1)
+    return (idx_col == iota).astype(dtype)
+
+
+def _gn_fwd(t, w, b, eps):
+    mu = jnp.mean(t, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(t - mu), axis=1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    nrm = (t - mu) * inv
+    return nrm, inv, nrm * w + b
+
+
+def _gn_bwd(d_y, nrm, inv, w):
+    d_nrm = d_y * w
+    c1 = jnp.mean(d_nrm, axis=1, keepdims=True)
+    c2 = jnp.mean(d_nrm * nrm, axis=1, keepdims=True)
+    return inv * (d_nrm - c1 - nrm * c2)
+
+
+def _mm(a, b, dtype, transpose_b=False):
+    dims = (((1,), (1,)), ((), ())) if transpose_b else (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(
+        a.astype(dtype), b.astype(dtype),
+        dimension_numbers=dims, preferred_element_type=jnp.float32,
+    )
+
+
+def _edge_contract(oh, rows, dtype):
+    """Σ_e oh[e, w] · rows[e, c] → [W, C] (scatter via edge-dim contraction)."""
+    return jax.lax.dot_general(
+        oh, rows.astype(dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _chain_fwd(gd, gq, gc, bd, kdo, gdow, gdob, k1, gchw, gchb, eps,
+               has_dist2, has_query, dt):
+    """Forward chain from gathered rows; returns intermediates for bwd."""
+    t1_pre = gd + bd.astype(jnp.float32)
+    t1 = jnp.maximum(t1_pre, 0.0)
+    if has_dist2:
+        z = _mm(t1, kdo, dt)
+        nrm_z, inv_z, t2_pre = _gn_fwd(z, gdow, gdob, eps)
+        t2 = jnp.maximum(t2_pre, 0.0)
+    else:
+        nrm_z = inv_z = t2_pre = None
+        t2 = t1
+    s = _mm(t2, k1, dt) + gc
+    if has_query:
+        s = s + gq
+    nrm_s, inv_s, e1_pre = _gn_fwd(s, gchw, gchb, eps)
+    e1 = jnp.maximum(e1_pre, 0.0)
+    return t1, t1_pre, t2, t2_pre, nrm_z, inv_z, e1, e1_pre, nrm_s, inv_s
+
+
+def _fwd_kernel(has_dist2, has_query, eps,
+                dwin_r, swin_r, first_r, nv_r,
+                pd_ref, qd_ref, ps_ref, cs_ref, temp_ref,
+                bd_ref, kdo_ref, gdo_ref, k1_ref, gch_ref, kout_ref,
+                lu_ref, lv_ref, out_ref):
+    k = pl.program_id(0)
+    dt = pd_ref.dtype
+    sd = pd_ref.shape[0]
+    ss = ps_ref.shape[0]
+
+    @pl.when(first_r[k] == 1)
+    def _():
+        out_ref[:] = temp_ref[:]
+
+    # Chunks with no valid edges (capacity tail, pair-alignment padding)
+    # skip the whole chain — their one-hot rows are all zero anyway.
+    @pl.when(nv_r[k] > 0)
+    def _():
+        oh_u = _onehot(lu_ref[:], sd, dt)
+        oh_v = _onehot(lv_ref[:], ss, dt)
+        gd = jnp.dot(oh_u, pd_ref[:], preferred_element_type=jnp.float32)
+        gd = gd + jnp.dot(oh_v, ps_ref[:], preferred_element_type=jnp.float32)
+        gc = jnp.dot(oh_v, cs_ref[:], preferred_element_type=jnp.float32)
+        gq = (
+            jnp.dot(oh_u, qd_ref[:], preferred_element_type=jnp.float32)
+            if has_query else None
+        )
+        gdow = gdo_ref[0:1, :].astype(jnp.float32)
+        gdob = gdo_ref[1:2, :].astype(jnp.float32)
+        gchw = gch_ref[0:1, :].astype(jnp.float32)
+        gchb = gch_ref[1:2, :].astype(jnp.float32)
+        *_, e1, _, _, _ = _chain_fwd(
+            gd, gq, gc, bd_ref[0:1, :], kdo_ref[:], gdow, gdob, k1_ref[:],
+            gchw, gchb, eps, has_dist2, has_query, dt,
+        )
+        e2 = _mm(e1, kout_ref[:], dt)
+        contrib = _edge_contract(oh_u, e2, dt)
+        out_ref[:] = (out_ref[:].astype(jnp.float32) + contrib).astype(out_ref.dtype)
+
+
+def _bwd_d_kernel(has_dist2, has_query, eps,
+                  dwin_r, swin_r, first_r, nv_r,
+                  pd_ref, qd_ref, ps_ref, cs_ref, g_ref,
+                  bd_ref, kdo_ref, gdo_ref, k1_ref, gch_ref, kout_ref,
+                  lu_ref, lv_ref, zd_ref, zq_ref,
+                  dpd_ref, dqd_ref, dbd_ref, dkdo_ref, dgdo_ref,
+                  dk1_ref, dgch_ref, dkout_ref, ds_ref, dt1_ref):
+    """Destination-side backward pass (dwin-sorted chunk order)."""
+    k = pl.program_id(0)
+    dt = pd_ref.dtype
+
+    @pl.when(k == 0)
+    def _():
+        dbd_ref[:] = jnp.zeros_like(dbd_ref)
+        dkdo_ref[:] = jnp.zeros_like(dkdo_ref)
+        dgdo_ref[:] = jnp.zeros_like(dgdo_ref)
+        dk1_ref[:] = jnp.zeros_like(dk1_ref)
+        dgch_ref[:] = jnp.zeros_like(dgch_ref)
+        dkout_ref[:] = jnp.zeros_like(dkout_ref)
+
+    @pl.when(first_r[k] == 1)
+    def _():
+        dpd_ref[:] = zd_ref[:]
+        if has_query:
+            dqd_ref[:] = zq_ref[:]
+
+    @pl.when(nv_r[k] > 0)
+    def _():
+        sd = pd_ref.shape[0]
+        ss = ps_ref.shape[0]
+        oh_u = _onehot(lu_ref[:], sd, dt)
+        oh_v = _onehot(lv_ref[:], ss, dt)
+        gd = jnp.dot(oh_u, pd_ref[:], preferred_element_type=jnp.float32)
+        gd = gd + jnp.dot(oh_v, ps_ref[:], preferred_element_type=jnp.float32)
+        gc = jnp.dot(oh_v, cs_ref[:], preferred_element_type=jnp.float32)
+        gq = (
+            jnp.dot(oh_u, qd_ref[:], preferred_element_type=jnp.float32)
+            if has_query else None
+        )
+        gdow = gdo_ref[0:1, :].astype(jnp.float32)
+        gdob = gdo_ref[1:2, :].astype(jnp.float32)
+        gchw = gch_ref[0:1, :].astype(jnp.float32)
+        gchb = gch_ref[1:2, :].astype(jnp.float32)
+        t1, t1_pre, t2, t2_pre, nrm_z, inv_z, e1, e1_pre, nrm_s, inv_s = _chain_fwd(
+            gd, gq, gc, bd_ref[0:1, :], kdo_ref[:], gdow, gdob, k1_ref[:],
+            gchw, gchb, eps, has_dist2, has_query, dt,
+        )
+
+        d_e2 = jnp.dot(oh_u, g_ref[:].astype(dt), preferred_element_type=jnp.float32)
+        d_e1 = _mm(d_e2, kout_ref[:], dt, transpose_b=True)
+        dkout_ref[:] += _edge_contract(e1.astype(dt), d_e2, dt)
+        d_gn_s = d_e1 * (e1_pre > 0.0).astype(jnp.float32)
+        dgch_ref[0:1, :] += jnp.sum(d_gn_s * nrm_s, axis=0, keepdims=True)
+        dgch_ref[1:2, :] += jnp.sum(d_gn_s, axis=0, keepdims=True)
+        d_s = _gn_bwd(d_gn_s, nrm_s, inv_s, gchw)
+        d_t2 = _mm(d_s, k1_ref[:], dt, transpose_b=True)
+        dk1_ref[:] += _edge_contract(t2.astype(dt), d_s, dt)
+        if has_dist2:
+            d_gn_z = d_t2 * (t2_pre > 0.0).astype(jnp.float32)
+            dgdo_ref[0:1, :] += jnp.sum(d_gn_z * nrm_z, axis=0, keepdims=True)
+            dgdo_ref[1:2, :] += jnp.sum(d_gn_z, axis=0, keepdims=True)
+            d_z = _gn_bwd(d_gn_z, nrm_z, inv_z, gdow)
+            dkdo_ref[:] += _edge_contract(t1.astype(dt), d_z, dt)
+            d_t1 = _mm(d_z, kdo_ref[:], dt, transpose_b=True)
+        else:
+            d_t1 = d_t2
+        d_t1p = d_t1 * (t1_pre > 0.0).astype(jnp.float32)
+        dbd_ref[:] += jnp.sum(d_t1p, axis=0, keepdims=True)
+
+        ds_ref[:] = d_s.astype(ds_ref.dtype)
+        dt1_ref[:] = d_t1p.astype(dt1_ref.dtype)
+
+        dpd_ref[:] = (
+            dpd_ref[:].astype(jnp.float32) + _edge_contract(oh_u, d_t1p.astype(dt), dt)
+        ).astype(dpd_ref.dtype)
+        if has_query:
+            dqd_ref[:] = (
+                dqd_ref[:].astype(jnp.float32) + _edge_contract(oh_u, d_s.astype(dt), dt)
+            ).astype(dqd_ref.dtype)
+
+
+def _bwd_s_kernel(sperm_r, sswin_r, sfirst_r, snv_r,
+                  ds_ref, dt1_ref, lv_ref, zs_ref, zc_ref,
+                  dps_ref, dcs_ref):
+    """Source-side backward pass (swin-sorted chunk order via plan.sperm)."""
+    k = pl.program_id(0)
+    dt = ds_ref.dtype
+
+    @pl.when(sfirst_r[k] == 1)
+    def _():
+        dps_ref[:] = zs_ref[:]
+        dcs_ref[:] = zc_ref[:]
+
+    @pl.when(snv_r[k] > 0)
+    def _():
+        ss = dps_ref.shape[0]
+        oh_v = _onehot(lv_ref[:], ss, dt)
+        dps_ref[:] = (
+            dps_ref[:].astype(jnp.float32) + _edge_contract(oh_v, dt1_ref[:], dt)
+        ).astype(dps_ref.dtype)
+        dcs_ref[:] = (
+            dcs_ref[:].astype(jnp.float32) + _edge_contract(oh_v, ds_ref[:], dt)
+        ).astype(dcs_ref.dtype)
+
+
+def _row(p):
+    return p.reshape(1, -1)
+
+
+def _pallas_fwd(plan, has_dist2, has_query, eps, interpret,
+                pd, qd, ps, cs, temp, bd, kdo, gdow, gdob, k1, gchw, gchb, kout):
+    from jax.experimental.pallas import tpu as pltpu
+
+    nd, c = pd.shape
+    ns = ps.shape[0]
+    sd, ss, ch = plan.dst_stride, plan.src_stride, plan.chunk
+    nc = plan.dwin.shape[0]
+    if not has_query:
+        qd = jnp.zeros((1, c), pd.dtype)
+    qd_spec = (
+        pl.BlockSpec((sd, c), lambda k, d, s, f, n: (d[k], 0))
+        if has_query else pl.BlockSpec((1, c), lambda k, d, s, f, n: (0, 0))
+    )
+    nv = jnp.sum(
+        (plan.lu[:, 0] >= 0).reshape(nc, ch), axis=1, dtype=jnp.int32
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((sd, c), lambda k, d, s, f, n: (d[k], 0)),   # pd
+            qd_spec,                                               # qd
+            pl.BlockSpec((ss, c), lambda k, d, s, f, n: (s[k], 0)),   # ps
+            pl.BlockSpec((ss, c), lambda k, d, s, f, n: (s[k], 0)),   # cs
+            pl.BlockSpec((sd, c), lambda k, d, s, f, n: (d[k], 0)),   # temp
+            pl.BlockSpec((1, c), lambda k, d, s, f, n: (0, 0)),       # bd
+            pl.BlockSpec((c, c), lambda k, d, s, f, n: (0, 0)),       # kdo
+            pl.BlockSpec((2, c), lambda k, d, s, f, n: (0, 0)),       # gdo
+            pl.BlockSpec((c, c), lambda k, d, s, f, n: (0, 0)),       # k1
+            pl.BlockSpec((2, c), lambda k, d, s, f, n: (0, 0)),       # gch
+            pl.BlockSpec((c, c), lambda k, d, s, f, n: (0, 0)),       # kout
+            pl.BlockSpec((ch, 1), lambda k, d, s, f, n: (k, 0)),      # lu
+            pl.BlockSpec((ch, 1), lambda k, d, s, f, n: (k, 0)),      # lv
+        ],
+        out_specs=pl.BlockSpec((sd, c), lambda k, d, s, f, n: (d[k], 0)),
+    )
+    gdo = jnp.concatenate([_row(gdow), _row(gdob)], 0)
+    gch = jnp.concatenate([_row(gchw), _row(gchb)], 0)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, has_dist2, has_query, eps),
+        out_shape=jax.ShapeDtypeStruct((nd, c), temp.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={8: 0},  # temp (4 prefetch + 4 tensor args)
+        interpret=interpret,
+    )(plan.dwin, plan.swin, plan.first, nv,
+      pd, qd, ps, cs, temp, _row(bd),
+      kdo.astype(pd.dtype), gdo, k1.astype(pd.dtype), gch,
+      kout.astype(pd.dtype), plan.lu, plan.lv)
+
+
+def _pallas_bwd(plan, has_dist2, has_query, eps, interpret,
+                pd, qd, ps, cs, bd, kdo, gdow, gdob, k1, gchw, gchb, kout, g):
+    from jax.experimental.pallas import tpu as pltpu
+
+    nd, c = pd.shape
+    ns = ps.shape[0]
+    sd, ss, ch = plan.dst_stride, plan.src_stride, plan.chunk
+    nc = plan.dwin.shape[0]
+    if not has_query:
+        qd = jnp.zeros((1, c), pd.dtype)
+    qd_spec = (
+        pl.BlockSpec((sd, c), lambda k, d, s, f, n: (d[k], 0))
+        if has_query else pl.BlockSpec((1, c), lambda k, d, s, f, n: (0, 0))
+    )
+    dqd_spec = (
+        pl.BlockSpec((sd, c), lambda k, d, s, f, n: (d[k], 0))
+        if has_query else pl.BlockSpec((1, c), lambda k, d, s, f, n: (0, 0))
+    )
+    gdo = jnp.concatenate([_row(gdow), _row(gdob)], 0)
+    gch = jnp.concatenate([_row(gchw), _row(gchb)], 0)
+    zeros_d = jnp.zeros((nd, c), pd.dtype)
+    zeros_q = jnp.zeros((nd, c) if has_query else (1, c), pd.dtype)
+    nv = jnp.sum(
+        (plan.lu[:, 0] >= 0).reshape(nc, ch), axis=1, dtype=jnp.int32
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((sd, c), lambda k, d, s, f, n: (d[k], 0)),   # pd
+            qd_spec,                                               # qd
+            pl.BlockSpec((ss, c), lambda k, d, s, f, n: (s[k], 0)),   # ps
+            pl.BlockSpec((ss, c), lambda k, d, s, f, n: (s[k], 0)),   # cs
+            pl.BlockSpec((sd, c), lambda k, d, s, f, n: (d[k], 0)),   # g
+            pl.BlockSpec((1, c), lambda k, d, s, f, n: (0, 0)),       # bd
+            pl.BlockSpec((c, c), lambda k, d, s, f, n: (0, 0)),       # kdo
+            pl.BlockSpec((2, c), lambda k, d, s, f, n: (0, 0)),       # gdo
+            pl.BlockSpec((c, c), lambda k, d, s, f, n: (0, 0)),       # k1
+            pl.BlockSpec((2, c), lambda k, d, s, f, n: (0, 0)),       # gch
+            pl.BlockSpec((c, c), lambda k, d, s, f, n: (0, 0)),       # kout
+            pl.BlockSpec((ch, 1), lambda k, d, s, f, n: (k, 0)),      # lu
+            pl.BlockSpec((ch, 1), lambda k, d, s, f, n: (k, 0)),      # lv
+            pl.BlockSpec((sd, c), lambda k, d, s, f, n: (d[k], 0)),   # zeros_d
+            dqd_spec,                                              # zeros_q
+        ],
+        out_specs=(
+            pl.BlockSpec((sd, c), lambda k, d, s, f, n: (d[k], 0)),   # dpd
+            dqd_spec,                                              # dqd
+            pl.BlockSpec((1, c), lambda k, d, s, f, n: (0, 0)),       # dbd
+            pl.BlockSpec((c, c), lambda k, d, s, f, n: (0, 0)),       # dkdo
+            pl.BlockSpec((2, c), lambda k, d, s, f, n: (0, 0)),       # dgdo
+            pl.BlockSpec((c, c), lambda k, d, s, f, n: (0, 0)),       # dk1
+            pl.BlockSpec((2, c), lambda k, d, s, f, n: (0, 0)),       # dgch
+            pl.BlockSpec((c, c), lambda k, d, s, f, n: (0, 0)),       # dkout
+            pl.BlockSpec((ch, c), lambda k, d, s, f, n: (k, 0)),      # ds save
+            pl.BlockSpec((ch, c), lambda k, d, s, f, n: (k, 0)),      # dt1 save
+        ),
+    )
+    dpd, dqd, dbd, dkdo, dgdo, dk1, dgch, dkout, ds_save, dt1_save = pl.pallas_call(
+        functools.partial(_bwd_d_kernel, has_dist2, has_query, eps),
+        out_shape=(
+            jax.ShapeDtypeStruct((nd, c), pd.dtype),
+            jax.ShapeDtypeStruct((nd, c) if has_query else (1, c), pd.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((2, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((2, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((nc * ch, c), pd.dtype),
+            jax.ShapeDtypeStruct((nc * ch, c), pd.dtype),
+        ),
+        grid_spec=grid_spec,
+        input_output_aliases={17: 0, 18: 1},  # zeros_d→dpd, zeros_q→dqd
+        interpret=interpret,
+    )(plan.dwin, plan.swin, plan.first, nv,
+      pd, qd, ps, cs, g.astype(pd.dtype), _row(bd),
+      kdo.astype(pd.dtype), gdo, k1.astype(pd.dtype), gch,
+      kout.astype(pd.dtype), plan.lu, plan.lv, zeros_d, zeros_q)
+
+    zeros_s = jnp.zeros((ns, c), ps.dtype)
+    zeros_c = jnp.zeros((ns, c), ps.dtype)
+    snv = jnp.take(nv, plan.sperm)
+    s_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((ch, c), lambda k, p, s, f, n: (p[k], 0)),   # ds save
+            pl.BlockSpec((ch, c), lambda k, p, s, f, n: (p[k], 0)),   # dt1 save
+            pl.BlockSpec((ch, 1), lambda k, p, s, f, n: (p[k], 0)),   # lv
+            pl.BlockSpec((ss, c), lambda k, p, s, f, n: (s[k], 0)),   # zeros_s
+            pl.BlockSpec((ss, c), lambda k, p, s, f, n: (s[k], 0)),   # zeros_c
+        ],
+        out_specs=(
+            pl.BlockSpec((ss, c), lambda k, p, s, f, n: (s[k], 0)),   # dps
+            pl.BlockSpec((ss, c), lambda k, p, s, f, n: (s[k], 0)),   # dcs
+        ),
+    )
+    dps, dcs = pl.pallas_call(
+        _bwd_s_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((ns, c), ps.dtype),
+            jax.ShapeDtypeStruct((ns, c), ps.dtype),
+        ),
+        grid_spec=s_grid,
+        input_output_aliases={7: 0, 8: 1},
+        interpret=interpret,
+    )(plan.sperm, plan.sswin, plan.sfirst, snv,
+      ds_save, dt1_save, plan.lv, zeros_s, zeros_c)
+    return dpd, (dqd if has_query else None), dps, dcs, dbd, dkdo, dgdo, dk1, dgch, dkout
+
+
+def xla_reference(pd, qd, ps, cs, temp, bd, kdo, gdow, gdob, k1, gchw, gchb,
+                  kout, plan, has_dist2, has_query, eps=1e-5):
+    """Differentiable XLA formulation of the same computation (CPU fallback
+    and the parity oracle for the Pallas kernels)."""
+    nd, c = pd.shape
+    ns = ps.shape[0]
+    ch = plan.chunk
+    dt = pd.dtype
+    lu = plan.lu[:, 0]
+    lv = plan.lv[:, 0]
+    e_tot = lu.shape[0]
+    ch_idx = jnp.arange(e_tot, dtype=jnp.int32) // ch
+    valid = lu >= 0
+    u_glob = jnp.where(valid, plan.dwin[ch_idx] * plan.dst_stride + lu, nd)
+    v_glob = jnp.where(valid, plan.swin[ch_idx] * plan.src_stride + lv, 0)
+    take = lambda arr, idx: jnp.where(
+        valid[:, None], jnp.take(arr, jnp.clip(idx, 0, arr.shape[0] - 1), axis=0), 0
+    )
+    gd = take(pd, u_glob).astype(jnp.float32) + take(ps, v_glob).astype(jnp.float32)
+    gc = take(cs, v_glob).astype(jnp.float32)
+    gq = take(qd, u_glob).astype(jnp.float32) if has_query else None
+    t1 = jnp.maximum(gd + bd.astype(jnp.float32), 0.0)
+    if has_dist2:
+        z = _mm(t1, kdo, dt)
+        _, _, t2_pre = _gn_fwd(z, gdow.astype(jnp.float32), gdob.astype(jnp.float32), eps)
+        t2 = jnp.maximum(t2_pre, 0.0)
+    else:
+        t2 = t1
+    s = _mm(t2, k1, dt) + gc
+    if has_query:
+        s = s + gq
+    _, _, e1_pre = _gn_fwd(s, gchw.astype(jnp.float32), gchb.astype(jnp.float32), eps)
+    e1 = jnp.maximum(e1_pre, 0.0)
+    e2 = _mm(e1, kout, dt)
+    out = jnp.zeros((nd, c), jnp.float32).at[u_glob].add(
+        jnp.where(valid[:, None], e2, 0.0), mode="drop"
+    )
+    return temp + out.astype(temp.dtype)
+
+
+def _rebuild_plan(lu, lv, dwin, swin, first, sperm, sswin, sfirst,
+                  chunk, sd, ss):
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        lu=lu, lv=lv, dwin=dwin, swin=swin, first=first, sperm=sperm,
+        sswin=sswin, sfirst=sfirst, chunk=chunk, dst_stride=sd,
+        src_stride=ss, num_chunks=dwin.shape[0])
+
+
+_STATICS = (21, 22, 23, 24, 25, 26, 27)  # chunk, sd, ss, dist2, query, eps, interp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=_STATICS)
+def _win_edge_p(pd, qd, ps, cs, temp, bd, kdo, gdow, gdob, k1, gchw, gchb,
+                kout, lu, lv, dwin, swin, first, sperm, sswin, sfirst,
+                chunk, sd, ss, has_dist2, has_query, eps, interpret):
+    plan = _rebuild_plan(lu, lv, dwin, swin, first, sperm, sswin, sfirst,
+                         chunk, sd, ss)
+    return _pallas_fwd(plan, has_dist2, has_query, eps, interpret,
+                       pd, qd, ps, cs, temp, bd, kdo, gdow, gdob, k1,
+                       gchw, gchb, kout)
+
+
+def _vjp_fwd(pd, qd, ps, cs, temp, bd, kdo, gdow, gdob, k1, gchw, gchb,
+             kout, lu, lv, dwin, swin, first, sperm, sswin, sfirst,
+             chunk, sd, ss, has_dist2, has_query, eps, interpret):
+    plan = _rebuild_plan(lu, lv, dwin, swin, first, sperm, sswin, sfirst,
+                         chunk, sd, ss)
+    out = _pallas_fwd(plan, has_dist2, has_query, eps, interpret,
+                      pd, qd, ps, cs, temp, bd, kdo, gdow, gdob, k1,
+                      gchw, gchb, kout)
+    return out, (pd, qd, ps, cs, bd, kdo, gdow, gdob, k1, gchw, gchb, kout,
+                 lu, lv, dwin, swin, first, sperm, sswin, sfirst)
+
+
+def _vjp_bwd(chunk, sd, ss, has_dist2, has_query, eps, interpret, res, g):
+    (pd, qd, ps, cs, bd, kdo, gdow, gdob, k1, gchw, gchb, kout,
+     lu, lv, dwin, swin, first, sperm, sswin, sfirst) = res
+    plan = _rebuild_plan(lu, lv, dwin, swin, first, sperm, sswin, sfirst,
+                         chunk, sd, ss)
+    dpd, dqd, dps, dcs, dbd, dkdo, dgdo, dk1, dgch, dkout = _pallas_bwd(
+        plan, has_dist2, has_query, eps, interpret,
+        pd, qd, ps, cs, bd, kdo, gdow, gdob, k1, gchw, gchb, kout, g,
+    )
+    if dqd is None:
+        dqd = jnp.zeros_like(qd)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (
+        dpd.astype(pd.dtype),
+        dqd.astype(qd.dtype),
+        dps.astype(ps.dtype),
+        dcs.astype(cs.dtype),
+        g,  # temp passthrough
+        dbd[0].astype(bd.dtype),
+        dkdo.astype(kdo.dtype),
+        dgdo[0].astype(gdow.dtype),
+        dgdo[1].astype(gdob.dtype),
+        dk1.astype(k1.dtype),
+        dgch[0].astype(gchw.dtype),
+        dgch[1].astype(gchb.dtype),
+        dkout.astype(kout.dtype),
+        f0(lu), f0(lv), f0(dwin), f0(swin), f0(first),
+        f0(sperm), f0(sswin), f0(sfirst),
+    )
+
+
+_win_edge_p.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def win_edge_mlp(pd, qd, ps, cs, temp, bd, kdo, gdow, gdob, k1, gchw, gchb,
+                 kout, plan, has_dist2=True, has_query=True, eps=1e-5,
+                 mode="on"):
+    """temp + scatter(edge MLP over the window-pair plan). See module doc.
+
+    pd [Nd, C]: dst-row dist projection (signs folded by the caller —
+    Att passes dctrs@Wd here and −sctrs@Wd as ps; LanePooling passes
+    −tgt_pose@Wd / +ctx_pose@Wd). qd [Nd, C]: dst-row query projection
+    (has_query only; pass None otherwise). ps/cs [Ns, C]: src-row dist /
+    context projections. temp [Nd, C]: accumulator basis (result = temp +
+    scattered messages). Gradients flow to every array argument.
+    mode: "on" | "interpret" | "xla".
+    """
+    if qd is None:
+        qd = jnp.zeros((1, cs.shape[1]), cs.dtype)
+    if mode == "xla":
+        return xla_reference(pd, qd, ps, cs, temp, bd, kdo, gdow, gdob, k1,
+                             gchw, gchb, kout, plan, has_dist2, has_query, eps)
+    return _win_edge_p(
+        pd, qd, ps, cs, temp, bd, kdo, gdow, gdob, k1, gchw, gchb, kout,
+        plan.lu, plan.lv, plan.dwin, plan.swin, plan.first,
+        plan.sperm, plan.sswin, plan.sfirst,
+        int(plan.chunk), int(plan.dst_stride), int(plan.src_stride),
+        has_dist2, has_query, eps, mode == "interpret",
+    )
