@@ -426,7 +426,7 @@ def main():
         "vs_baseline": round(scen_per_s / BASELINE_SCEN_PER_S_PER_CHIP, 3),
         "overflow_edges_per_pack": occ["overflow"],
         "msg_edges_per_sec": round(edges_per_s, 0),
-        "step_ms": round(1e3 * dt / iters, 2),
+        "step_ms": round(1e3 * scen_per_batch / scen_per_s, 2),
         "compile_train_s": round(compile_train_s, 1),
         # Drop accounting (VERDICT r3 #4): every dropped_*/skipped_* packer
         # counter, summed over the bench packs. Empty = zero drops.

@@ -1,15 +1,17 @@
-"""Single-blob host→device transfer for packed batches.
+"""Few-blob host→device transfer for packed batches.
 
 The axon relay (and any RPC-attached accelerator) pays a ~50 ms round trip
 PER ARRAY transferred, independent of size — a PackedBatch has ~90 leaves,
 so leaf-wise `jax.tree.map(jnp.asarray, batch)` costs ~1.5 s/pack while the
 actual bytes (~25 MB) need ~50 ms. This module ships the whole pytree as
-ONE uint8 buffer and splits it back into leaves INSIDE one jitted device
-program (static slices + bitcasts — XLA fuses the unpack into pure device
-copies).
+ONE buffer PER DTYPE (float32 / int32 / uint8-bool / ...) and splits them
+back into leaves INSIDE one jitted device program. Same-dtype packing keeps
+the unpack program to static 1-D slices + reshapes — no bitcasts, which
+the remote-compile backend lowers pathologically (measured: a uint8+bitcast
+formulation hung XLA compilation for minutes).
 
 Usage:
-    batch_dev = device_put_blob(batch_host)   # one transfer, same pytree
+    batch_dev = device_put_blob(batch_host)   # few transfers, same pytree
 
 The unpack program is compiled once per (treedef, shapes/dtypes) — static
 per PackConfig, so training reuses a single compilation.
@@ -25,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 # jnp-canonical dtypes under the default x64-disabled config: wider host
-# dtypes narrow exactly like jnp.asarray would.
+# dtypes narrow exactly like jnp.asarray would. bool ships as uint8.
 _CANON = {
     np.dtype(np.int64): np.dtype(np.int32),
     np.dtype(np.uint64): np.dtype(np.uint32),
@@ -42,45 +44,52 @@ def _canon(leaf: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def _make_unpacker(treedef, spec: Tuple[Tuple[tuple, str], ...]):
-    """Jitted blob → pytree splitter. spec = ((shape, dtype-str), ...)."""
-    offs = []
-    off = 0
+def _make_unpacker(treedef, spec: Tuple[Tuple[tuple, str], ...],
+                   blob_dtypes: Tuple[str, ...]):
+    """Jitted (blob_0, ..., blob_k) → pytree splitter.
+
+    spec = ((shape, dtype-str), ...) per leaf; each leaf reads a static
+    1-D slice of its dtype's blob. bool leaves ride the uint8 blob."""
+    offs = {d: 0 for d in blob_dtypes}
+    plan = []
     for shape, dstr in spec:
         dt = np.dtype(dstr)
-        nb = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
-        offs.append((off, nb, shape, dt))
-        off += nb
+        key = "|u1" if dt == np.bool_ else dt.str
+        n = int(np.prod(shape, dtype=np.int64))
+        plan.append((key, offs[key], n, shape, dt == np.bool_))
+        offs[key] += n
 
-    def unpack(blob):
+    def unpack(*blobs):
+        by_dtype = dict(zip(blob_dtypes, blobs))
         leaves = []
-        for off, nb, shape, dt in offs:
-            raw = jax.lax.slice(blob, (off,), (off + nb,))
-            if dt == np.bool_:
-                leaf = raw.astype(jnp.bool_)
-            elif dt.itemsize == 1:
-                leaf = jax.lax.bitcast_convert_type(raw, dt)
-            else:
-                leaf = jax.lax.bitcast_convert_type(
-                    raw.reshape(-1, dt.itemsize), dt
-                )
-            leaves.append(leaf.reshape(shape))
+        for key, off, n, shape, is_bool in plan:
+            raw = jax.lax.slice(by_dtype[key], (off,), (off + n,))
+            if is_bool:
+                raw = raw.astype(jnp.bool_)
+            leaves.append(raw.reshape(shape))
         return jax.tree.unflatten(treedef, leaves)
 
     return jax.jit(unpack)
 
 
 def device_put_blob(tree: Any):
-    """Transfer a pytree of host numpy arrays as one uint8 blob and split it
-    on device. Returns the same pytree with device-array leaves (dtypes
-    canonicalized exactly like jnp.asarray: int64→int32, float64→float32)."""
+    """Transfer a pytree of host numpy arrays as one buffer per dtype and
+    split on device. Returns the same pytree with device-array leaves
+    (dtypes canonicalized exactly like jnp.asarray: int64→int32,
+    float64→float32)."""
     leaves, treedef = jax.tree.flatten(tree)
     leaves = [_canon(l) for l in leaves]
     spec = tuple((l.shape, l.dtype.str) for l in leaves)
-    total = sum(l.nbytes for l in leaves)
-    blob = np.empty(total, np.uint8)
-    off = 0
+    groups = {}
     for l in leaves:
-        blob[off : off + l.nbytes] = l.view(np.uint8).ravel()
-        off += l.nbytes
-    return _make_unpacker(treedef, spec)(blob)
+        key = "|u1" if l.dtype == np.bool_ else l.dtype.str
+        groups.setdefault(key, []).append(
+            l.view(np.uint8).view(np.dtype(key)) if l.dtype == np.bool_ else l
+        )
+    blob_dtypes = tuple(sorted(groups))
+    blobs = [
+        np.concatenate([g.ravel() for g in groups[d]])
+        if groups[d] else np.zeros(0, np.dtype(d))
+        for d in blob_dtypes
+    ]
+    return _make_unpacker(treedef, spec, blob_dtypes)(*blobs)

@@ -217,11 +217,15 @@ class PackedLoader:
                 from lanegcn_tpu.data.blob import device_put_blob
 
                 t0 = time.time()
-                # One uint8 blob + on-device split: the relay charges a
+                # Dtype-grouped blobs + on-device split: the relay charges a
                 # ~50 ms round trip PER ARRAY, so leaf-wise transfers cost
-                # ~1.5 s/pack for ~90 leaves (measured round 4).
+                # ~1.5 s/pack for ~90 leaves (measured round 4). Do NOT
+                # block: the unpack program queues behind in-flight train
+                # steps, and a blocking worker serializes the whole loader
+                # behind the device (measured 249 scen/s e2e vs 1,700
+                # device-side). Dispatch is async; the consuming step waits
+                # on its inputs naturally.
                 batch = device_put_blob(batch)
-                jax.block_until_ready(batch)
                 self.transfer_s += time.time() - t0
                 self.transfer_packs += 1
             return batch
