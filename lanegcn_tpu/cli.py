@@ -192,12 +192,41 @@ def cmd_train(args):
     # ~17x more bytes for this program). It consumes FLAT packs; the
     # band/table/Pallas fusions stay the single-chip fast path.
     graph_n_req = _parse_mesh(args.mesh)[1] if args.mesh else 1
+    gp_mode = getattr(args, "graph_parallel", "windowed")
+    if gp_mode == "windowed" and args.model != "lanegcn":
+        gp_mode = "explicit"  # windowed sub-packing is wired for LaneGCN
     explicit_gp = (
         graph_n_req > 1
         and args.model in ("lanegcn", "lanercnn")
-        and getattr(args, "graph_parallel", "explicit") == "explicit"
+        and gp_mode == "explicit"
     )
+    windowed_gp = graph_n_req > 1 and args.model == "lanegcn" and gp_mode == "windowed"
     loader_kw = {}
+    if windowed_gp:
+        # Scenario-aligned graph shards: each loader group of S scenarios
+        # packs into G sub-packs of S/G at 1/G capacities; every shard then
+        # runs the UNMODIFIED fast path (parallel/windowed_parallel.py).
+        from lanegcn_tpu.data.packing import pack_batch as _pack_batch
+        from lanegcn_tpu.parallel.windowed_parallel import subdivide_pack_config
+
+        _sub_cfg = subdivide_pack_config(config.pack, graph_n_req)
+
+        def _pack_windowed(scens, cfg):
+            per = max(len(scens) // graph_n_req, 1)
+            subs, merged = [], {}
+            for g1 in range(graph_n_req):
+                sb, st = _pack_batch(
+                    scens[g1 * per : (g1 + 1) * per], _sub_cfg, cfg.model
+                )
+                subs.append(sb)
+                for k, v in st.items():
+                    if isinstance(v, (int, float)):
+                        merged[k] = merged.get(k, 0) + v
+            import numpy as _np
+
+            return jax.tree.map(lambda *x: _np.stack(x), *subs), merged
+
+        loader_kw["packer"] = _pack_windowed
     if explicit_gp:
         # Pack AND partition edges per pack inside the loader workers so the
         # step loop stays host-work-free (the pure-Python partition loop
@@ -274,6 +303,10 @@ def cmd_train(args):
                 f"RoI pack capacities (roi nodes {rp.max_roi_nodes}, global "
                 f"nodes {n_glob}) must divide the graph axis {graph_n}"
             )
+        elif windowed_gp:
+            from lanegcn_tpu.parallel.windowed_parallel import subdivide_pack_config
+
+            subdivide_pack_config(config.pack, graph_n)  # divisibility asserts
         elif explicit_gp:
             n_act = config.pack.max_actors * config.pack.max_scenarios
             assert config.pack.max_nodes % graph_n == 0 and n_act % graph_n == 0, (
@@ -284,8 +317,9 @@ def cmd_train(args):
             print(f"mesh: data={data_n} x graph={graph_n} on "
                   f"{[d.platform for d in mesh.devices.flat][0]}, "
                   f"{pc} process(es)"
-                  + (f", graph axis: explicit shard_map" if explicit_gp
-                     else (", graph axis: GSPMD" if graph_n > 1 else "")))
+                  + (", graph axis: windowed (scenario-aligned)" if windowed_gp
+                     else (", graph axis: explicit shard_map" if explicit_gp
+                           else (", graph axis: GSPMD" if graph_n > 1 else ""))))
     else:
         data_n = 1
     # One optimizer step consumes data_n packs globally; each process packs
@@ -296,7 +330,13 @@ def cmd_train(args):
 
     def to_global(stacked):
         if state["shardings"] is None:
-            if explicit_gp:
+            if windowed_gp:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                state["shardings"] = jax.tree.map(
+                    lambda _: NamedSharding(mesh, P("data", "graph")), stacked
+                )
+            elif explicit_gp:
                 # shard_map in_specs: every batch leaf rides the data axis
                 # whole; the graph axis lives in the partitioned edges.
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -336,6 +376,12 @@ def cmd_train(args):
                 continue
             group.append(b)
             if len(group) == data_local:
+                if windowed_gp:
+                    if state["first_pack"] is None:
+                        state["first_pack"] = jax.tree.map(lambda x: x[0], group[0])
+                    yield to_global(stack_packs(group))
+                    group = []
+                    continue
                 if explicit_gp:
                     from lanegcn_tpu.parallel import stack_pack_edges
 
@@ -376,6 +422,15 @@ def cmd_train(args):
     if mesh is None:
         train_step = make_train_step(
             config, net, tx, lr_fn, bundle.loss_fn, bundle.metrics_fn
+        )
+    elif windowed_gp:
+        from lanegcn_tpu.parallel.windowed_parallel import (
+            make_windowed_parallel_train_step,
+        )
+
+        train_step = make_windowed_parallel_train_step(
+            config, tx, lr_fn, mesh, bundle.loss_fn, bundle.metrics_fn,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         )
     elif explicit_gp:
         from lanegcn_tpu.parallel import (
@@ -664,11 +719,16 @@ def main(argv=None):
                     help="per-shard edge-capacity slack for the explicit "
                          "graph-parallel partition (overflow edges beyond "
                          "cap are dropped with a warning)")
-    pt.add_argument("--graph-parallel", choices=["explicit", "gspmd"],
-                    default="explicit",
-                    help="graph-axis strategy for --mesh DxG (G>1): explicit "
-                         "shard_map kernels (measured: ~25x fewer collectives, "
-                         "tools/collective_audit.py) or GSPMD inference")
+    pt.add_argument("--graph-parallel", choices=["windowed", "explicit", "gspmd"],
+                    default="windowed",
+                    help="graph-axis strategy for --mesh DxG (G>1): windowed = "
+                         "scenario-aligned shards running the full single-chip "
+                         "fast path per shard (13 collectives/step, the "
+                         "production default; LaneGCN only), explicit = "
+                         "source-partitioned shard_map kernels (for graphs "
+                         "bigger than one shard), gspmd = XLA-inferred "
+                         "(tools/collective_audit.py has the measured "
+                         "comparison)")
     pt.add_argument("--mesh", default=None, metavar="DxG",
                     help="device mesh, e.g. 4 (data) or 4x2 (data x graph); "
                          "default single-device (multi-process: all devices)")

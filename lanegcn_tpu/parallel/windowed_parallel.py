@@ -1,0 +1,165 @@
+"""Windowed (scenario-aligned) graph-parallel LaneGCN train step.
+
+Every LaneGCN edge relation — intra-lane bands, dilated neighbors,
+left/right, fusion a2m/m2a/a2a — is SCENARIO-LOCAL: the reference builds
+each scenario's lane graph independently (data.py:220-361) and the
+distance-thresholded fusion edges never cross scenarios (lanegcn.py:
+672-689). Packs are scenario-partitioned, so cutting the graph axis ON
+SCENARIO BOUNDARIES makes every edge shard-local BY CONSTRUCTION: each
+device of the "graph" axis runs the UNMODIFIED single-chip fast path —
+banded Pallas LaneConv layer, scenario-window plan kernel, window-pair
+fused Att — on its own sub-pack (1/G of the scenarios at 1/G of every
+capacity), and the only communication in the whole step is
+
+  - all_gathers of the small outputs (cls/reg) + the loss-side pack fields
+    along "graph", so the pack-JOINT loss normalization (num_cls/num_reg
+    span the whole pack) matches the single-device step exactly, and
+  - the gradient pmean.
+
+Contrast with the source-partitioned explicit path (graph_parallel.py):
+that path slices node rows at arbitrary boundaries, which forces the flat
+einsum/scatter formulation per shard and one psum_scatter per LaneConv
+layer + one all_gather/psum_scatter per Att (48 collectives / 34.5 MB per
+step at data=2 x graph=2). It remains the right tool only when a SINGLE
+graph outgrows one shard's memory — never the case at Argoverse scale
+(≤ ~900 nodes/scenario). For scenario-local workloads the windowed path
+dominates on both axes: per-shard compute IS the measured single-chip fast
+path, and the collective count drops to the data-parallel floor plus two
+output all_gathers. See docs/PERFORMANCE.md "Multi-chip" for the measured
+comparison; gradient-scale correctness mirrors graph_parallel.py (the
+replicated loss's cotangents are summed by all_gather's VJP, so each
+shard's local gradient carries a factor of G — the pmean over "graph"
+cancels it exactly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lanegcn_tpu.config import Config, PackConfig
+from lanegcn_tpu.models.lanegcn import LaneGCN, agent_metrics, pred_loss
+from lanegcn_tpu.train.optimizer import guarded_optimizer_step, optimizer_step
+
+
+def subdivide_pack_config(cfg: PackConfig, g: int) -> PackConfig:
+    """The sub-pack config for one graph shard: every capacity divided by
+    G, alignment preserved. Scenario-aligned sharding = each shard packs
+    its own 1/G of the scenarios with the SAME layout machinery."""
+    if g == 1:
+        return cfg
+
+    def div(n: int, align: int = 1) -> int:
+        assert n % g == 0 or align > 1, (n, g)
+        return max(-(-n // g // align), 1) * align
+
+    med = cfg.max_edges_dilated
+    med_sub = (
+        tuple(div(m, 128) for m in med)
+        if isinstance(med, (tuple, list))
+        else div(med, 128)
+    )
+    assert cfg.max_scenarios % g == 0, (cfg.max_scenarios, g)
+    if cfg.node_stride:
+        assert cfg.max_nodes % (g * cfg.node_stride) == 0, (
+            "windowed sharding needs max_nodes divisible by G*node_stride"
+        )
+    if cfg.actor_stride:
+        assert cfg.max_actors % (g * cfg.actor_stride) == 0, (
+            "windowed sharding needs max_actors divisible by G*actor_stride"
+        )
+    return dataclasses.replace(
+        cfg,
+        max_scenarios=cfg.max_scenarios // g,
+        max_actors=cfg.max_actors // g,
+        max_nodes=cfg.max_nodes // g,
+        max_edges_scale0=div(cfg.max_edges_scale0, 128),
+        max_edges_dilated=med_sub,
+        max_edges_lr=div(cfg.max_edges_lr, 128),
+        max_a2m_edges=div(cfg.max_a2m_edges, cfg.pair_chunk),
+        max_m2a_edges=div(cfg.max_m2a_edges, cfg.pair_chunk),
+        max_a2a_edges=div(cfg.max_a2a_edges, cfg.pair_chunk),
+        max_table_edges=div(cfg.max_table_edges) if cfg.max_table_edges else 0,
+    )
+
+
+def make_windowed_parallel_train_step(
+    config: Config, tx, lr_fn, mesh: Mesh, loss_fn=None, metrics_fn=None,
+    dtype=jnp.float32,
+):
+    """jit(shard_map) train step over a (data x graph) mesh with
+    scenario-aligned graph shards.
+
+    fn(params, opt_state, batch[D, G, ...], epoch) → (params, opt_state,
+    metrics). batch = per-device sub-packs (subdivide_pack_config
+    capacities) stacked on two leading axes. Loss/metric semantics match
+    the single-device step on the UNION of each data row's G sub-packs.
+    """
+    loss_fn = loss_fn or pred_loss
+    metrics_fn = metrics_fn or agent_metrics
+    guard = config.train.nan_guard
+    net = LaneGCN(config.model, dtype=dtype)
+
+    def per_device(params, opt_state, batch, epoch):
+        pack = jax.tree.map(lambda x: jnp.squeeze(jnp.squeeze(x, 0), 0), batch)
+        sid = jax.lax.axis_index("graph")
+        a_loc = pack.actors.mask.shape[0]
+
+        ag = lambda x: jax.lax.all_gather(x, "graph", axis=0, tiled=True)
+
+        def objective(p):
+            out = net.apply({"params": p}, pack)  # full fast path, local rows
+            out_full = {
+                "cls": ag(out["cls"].astype(jnp.float32)),
+                "reg": ag(out["reg"].astype(jnp.float32)),
+            }
+            # Union view of the loss-side fields: the pack-joint
+            # normalization (num_cls/num_reg, metric supports) spans all G
+            # sub-packs, exactly like one big pack on one device.
+            union = pack.replace(
+                gt_preds=ag(pack.gt_preds),
+                has_preds=ag(pack.has_preds),
+                actors=pack.actors.replace(mask=ag(pack.actors.mask)),
+                agent_idx=ag(pack.agent_idx + sid * a_loc),
+                scen_mask=ag(pack.scen_mask),
+            )
+            losses = loss_fn(out_full, union, config.loss)
+            m = dict(losses)
+            m.update(metrics_fn(out_full, union))
+            return losses["loss"], m
+
+        (_, metrics), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        # pmean (not psum) over "graph": the loss is recomputed identically
+        # on every graph shard and all_gather's VJP SUMS those G identical
+        # cotangents, so each shard's local gradient already carries a
+        # factor of G — the mean cancels it (graph_parallel.py docstring).
+        grads = jax.tree.map(
+            lambda x: jax.lax.pmean(jax.lax.pmean(x, "graph"), "data"), grads
+        )
+        loss_mean = jax.lax.pmean(metrics["loss"], "data")
+        metrics = {
+            k: (jax.lax.psum(v, "data") if k != "loss" else loss_mean)
+            for k, v in metrics.items()
+        }
+        lr = lr_fn(epoch)
+        if guard:
+            params, opt_state, ok = guarded_optimizer_step(
+                tx, params, grads, opt_state, lr, loss_mean
+            )
+            metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
+        else:
+            params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
+        metrics["lr"] = lr
+        return params, opt_state, metrics
+
+    shard_fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data", "graph"), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn, donate_argnums=(0, 1))

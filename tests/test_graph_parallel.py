@@ -163,6 +163,7 @@ def test_cli_explicit_graph_parallel(tmp_path):
             "train", "--model", "lanegcn", "--data", "synthetic:8:1:4",
             "--epochs", "1", "--batch-size", "2", "--save-dir", save_dir,
             "--display-every", "2", "--mesh", "2x2",
+            "--graph-parallel", "explicit",
         ])
     finally:
         sys.stdout = stdout

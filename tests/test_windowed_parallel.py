@@ -1,0 +1,148 @@
+"""Windowed (scenario-aligned) graph-parallel step
+(parallel/windowed_parallel.py) on the virtual CPU mesh: per-shard compute
+is the unmodified fast path on sub-packs, loss/metrics match the
+single-device step on the union pack, and SGD updates agree."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lanegcn_tpu.config import Config, PackConfig, TrainConfig
+from lanegcn_tpu.data import make_synthetic_scenario, pack_batch
+from lanegcn_tpu.models.lanegcn import LaneGCN
+from lanegcn_tpu.parallel import make_mesh, make_mesh_2d, make_parallel_train_step
+from lanegcn_tpu.parallel.windowed_parallel import (
+    make_windowed_parallel_train_step,
+    subdivide_pack_config,
+)
+from lanegcn_tpu.train.optimizer import make_optimizer
+
+FULL = PackConfig(
+    max_scenarios=4,
+    max_actors=64,
+    actor_stride=16,
+    max_nodes=2048,
+    node_stride=256,
+    max_plan_edges=512,
+    max_edges_scale0=512,
+    max_edges_dilated=768,
+    max_edges_lr=256,
+    max_a2m_edges=2048,
+    max_m2a_edges=2048,
+    max_a2a_edges=1024,
+    fusion_pairs=True,
+    table_relations=(),
+)
+
+G = 2
+D = 2
+
+
+def _scens(seed0, n):
+    return [
+        make_synthetic_scenario(seed=seed0 + i, num_corridors=2, num_actors=8)
+        for i in range(n)
+    ]
+
+
+def _batches(config, sub_cfg):
+    """Per data row: one big pack of 4 scenarios + its G=2 sub-packs of 2."""
+    big, subs = [], []
+    for d in range(D):
+        scens = _scens(100 * d, 4)
+        b, st = pack_batch(scens, config.pack, config.model)
+        assert st["packed_scenarios"] == 4, st
+        big.append(b)
+        row = []
+        for gshard in range(G):
+            sb, sst = pack_batch(
+                scens[2 * gshard : 2 * gshard + 2], sub_cfg, config.model
+            )
+            assert sst["packed_scenarios"] == 2, sst
+            row.append(sb)
+        subs.append(jax.tree.map(lambda *x: np.stack(x), *row))
+    batch_big = jax.tree.map(lambda *x: np.stack(x), *big)
+    batch_sub = jax.tree.map(lambda *x: np.stack(x), *subs)
+    return batch_big, batch_sub
+
+
+def test_subdivide_pack_config():
+    sub = subdivide_pack_config(FULL, G)
+    assert sub.max_scenarios == 2
+    assert sub.max_nodes == 1024 and sub.max_nodes % sub.node_stride == 0
+    assert sub.max_actors == 32 and sub.max_actors % sub.actor_stride == 0
+    assert sub.max_a2m_edges % sub.pair_chunk == 0
+    assert subdivide_pack_config(FULL, 1) is FULL
+
+
+@pytest.mark.slow
+def test_windowed_step_matches_union_pack():
+    """(data=2, graph=2) windowed step vs the 1-D data-mesh step on the
+    union packs: identical loss normalization, metric supports, and SGD
+    parameter updates (the gradient G-fold correction is load-bearing)."""
+    assert len(jax.devices()) >= 8
+    config = Config(
+        pack=FULL, train=TrainConfig(opt="sgd", nan_guard=False)
+    )
+    sub_cfg = subdivide_pack_config(FULL, G)
+    net = LaneGCN(config.model)
+    tx, lr_fn = make_optimizer(config.train)
+    batch_big, batch_sub = _batches(config, sub_cfg)
+
+    sample = jax.tree.map(lambda x: jnp.asarray(x[0]), batch_big)
+    params = net.init(jax.random.PRNGKey(7), sample)["params"]
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x), t)
+
+    mesh2d = make_mesh_2d(jax.devices()[:4], data=D, graph=G)
+    step_w = make_windowed_parallel_train_step(config, tx, lr_fn, mesh2d)
+    p_w, o_w, m_w = step_w(
+        copy(params), tx.init(copy(params)), jax.tree.map(jnp.asarray, batch_sub), 0.0
+    )
+
+    mesh1d = make_mesh(jax.devices()[:D])
+    step1d = make_parallel_train_step(config, net, tx, lr_fn, mesh1d)
+    p_1d, o_1d, m1d = step1d(copy(params), tx.init(copy(params)), batch_big, 0.0)
+
+    np.testing.assert_allclose(float(m_w["loss"]), float(m1d["loss"]), rtol=1e-4)
+    assert float(m_w["num_reg"]) == float(m1d["num_reg"])
+    assert float(m_w["num_cls"]) == float(m1d["num_cls"])
+    assert float(m_w["num_scen"]) == float(m1d["num_scen"])
+    np.testing.assert_allclose(
+        float(m_w["ade_sum"]), float(m1d["ade_sum"]), rtol=1e-4
+    )
+
+    # SGD update parity: a G-fold gradient-scale bug would shift every
+    # parameter by ~G x the true step.
+    from jax.flatten_util import ravel_pytree
+
+    fw, _ = ravel_pytree(p_w)
+    f1, _ = ravel_pytree(p_1d)
+    scale = float(jnp.max(jnp.abs(f1))) or 1.0
+    np.testing.assert_allclose(
+        np.asarray(fw) / scale, np.asarray(f1) / scale, rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.slow
+def test_cli_windowed_graph_parallel(tmp_path):
+    """`train --mesh 2x2` (default --graph-parallel windowed) runs the
+    scenario-aligned path end to end."""
+    import os
+    import sys
+
+    from lanegcn_tpu.cli import main
+
+    save_dir = str(tmp_path / "run")
+    stdout = sys.stdout
+    try:
+        main([
+            "train", "--model", "lanegcn", "--data", "synthetic:8:1:4",
+            "--epochs", "1", "--batch-size", "4", "--save-dir", save_dir,
+            "--display-every", "1", "--mesh", "2x2",
+        ])
+    finally:
+        sys.stdout = stdout
+    log = open(os.path.join(save_dir, "log")).read()
+    assert "windowed (scenario-aligned)" in log, log
+    assert "loss" in log, log

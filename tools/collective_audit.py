@@ -223,6 +223,33 @@ def main():
     ).compile()
     report("EXPLICIT full train step, mesh (data=2, graph=2) [shipped]", cex)
 
+    # 6. WINDOWED (scenario-aligned) full train step: per-shard compute is
+    # the unmodified single-chip fast path on sub-packs; the only
+    # collectives are the output/loss-field all_gathers + the grad pmean.
+    from lanegcn_tpu.parallel.windowed_parallel import (
+        make_windowed_parallel_train_step,
+        subdivide_pack_config,
+    )
+
+    sub_cfg = subdivide_pack_config(config.pack, 2)
+    subs = []
+    for d in range(2):
+        row = [
+            pack_batch(
+                [make_synthetic_scenario(seed=60 + 10 * d + g1, num_corridors=2,
+                                         num_actors=5)],
+                sub_cfg, config.model,
+            )[0]
+            for g1 in range(2)
+        ]
+        subs.append(jax.tree.map(lambda *x: np.stack(x), *row))
+    wbatch = jax.tree.map(lambda *x: jnp.asarray(np.stack(x)), *subs)
+    wsample = jax.tree.map(lambda x: x[0, 0], wbatch)
+    wparams = net.init(jax.random.PRNGKey(0), wsample)["params"]
+    w_step = make_windowed_parallel_train_step(config, tx, lr_fn, mesh2d)
+    cw = w_step.lower(wparams, tx.init(wparams), wbatch, 0.0).compile()
+    report("WINDOWED full train step, mesh (data=2, graph=2) [fast kernels/shard]", cw)
+
 
 def lanercnn_audit():
     """Same comparison for LaneRCNN: GSPMD-inferred (data=2, graph=2) vs the
