@@ -119,14 +119,14 @@ def bench_pack_config(num_scen: int | None = None) -> PackConfig:
         # they cost one-hot matmul work only.
         max_plan_edges=int(os.environ.get("BENCH_PLAN_EDGES", "2048")),
         table_relations=(),
-        # Classic lists now carry only the spill (cross-window + over-budget
-        # residue); per-scale caps sized to measured spill + headroom.
-        max_edges_scale0=max(2 * s, 512),
-        max_edges_dilated=tuple(
-            max(f * (2 ** i) * s // 2, 512)
-            for f, i in zip((2, 2, 2, 2, 2), range(1, 6))
-        ),
-        max_edges_lr=max(32 * s, 512),
+        # Round 4: the window plan's residue rides the (dst-window,
+        # src-window) pair plan (ops/pallas_pair_agg) — the classic lists
+        # hold only pair-capacity overflow (empty at these caps).
+        spill_pairs=os.environ.get("BENCH_SPILL_PAIRS", "1") == "1",
+        max_spill_pair_edges=int(os.environ.get("BENCH_SPILL_CAP", str(192 * s))),
+        max_edges_scale0=512,
+        max_edges_dilated=(512, 512, 512, 512, 512),
+        max_edges_lr=512,
         # Round 4: window-pair chunked fusion plans (ops/pallas_win_edge) —
         # capacities carry the chunk-alignment padding (~1 partially-filled
         # chunk per (dst-window, src-window) pair), sized to measured
@@ -388,9 +388,10 @@ def main():
         # to_device: transfers ride the worker thread — the axon relay
         # queues main-thread transfers behind the in-flight step (measured
         # 409 ms/pack interleaved vs 26.5 ms idle; 497 → 841 scen/s e2e).
+        workers = int(os.environ.get("BENCH_E2E_WORKERS", "1"))
         loader = PackedLoader(
-            _ListDataset(scens * reps), config, shuffle=True, pack_workers=1,
-            to_device=True,
+            _ListDataset(scens * reps), config, shuffle=True,
+            pack_workers=workers, to_device=True,
         )
         # Warm epoch (fills caches, compiles nothing new), then measure.
         transfer_hidden_ms = None
@@ -413,7 +414,7 @@ def main():
                 )
             print(
                 f"# e2e epoch {ep}: {n} scen in {dt:.2f}s → {e2e_per_s:.0f} "
-                f"scen/s (loader+pack+transfer+train, 1 pack worker; "
+                f"scen/s (loader+pack+transfer+train, {workers} pack worker(s); "
                 f"worker-thread transfer "
                 f"{transfer_hidden_ms or 0:.1f} ms/pack)",
                 file=sys.stderr,

@@ -123,6 +123,13 @@ class PackConfig:
     # drops edges with a dropped_pair_* counter, same policy as the lists).
     fusion_pairs: bool = False
     pair_chunk: int = 128
+    # Route the window plan's residue (cross-window + over-budget overflow
+    # edges) into a (dst-window, src-window) chunk-pair plan for
+    # ops/pallas_pair_agg instead of the classic gather/scatter edge lists.
+    # Requires node_stride + max_plan_edges; capacity in slots
+    # (chunk-pair alignment padding included — size to measured residue).
+    spill_pairs: bool = False
+    max_spill_pair_edges: int = 49152
 
     @property
     def table_edge_capacity(self) -> int:

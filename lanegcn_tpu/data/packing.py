@@ -513,7 +513,9 @@ def build_pair_plan(
     src_stride: int,
     capacity: int,
     chunk: int,
-) -> Tuple[Dict[str, np.ndarray], int]:
+    rel: np.ndarray | None = None,
+    return_residue: bool = False,
+):
     """Window-pair chunked edge layout for ops/pallas_win_edge.
 
     Groups edges by (destination window, source window) pair, sorts groups
@@ -526,6 +528,8 @@ def build_pair_plan(
     nc = max(capacity // chunk, 1)
     lu = np.full((nc * chunk, 1), -1, np.int32)
     lv = np.full((nc * chunk, 1), -1, np.int32)
+    lr_rel = None if rel is None else np.full((nc * chunk, 1), -1, np.int32)
+    res = (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int32))
     dwin_c = np.zeros(nc, np.int32)
     swin_c = np.zeros(nc, np.int32)
     first_c = np.zeros(nc, np.int32)
@@ -554,6 +558,15 @@ def build_pair_plan(
         slots = (chunk_of_edge * chunk + pos_in_grp % chunk)[fit]
         lu[slots, 0] = u[sel] % dst_stride
         lv[slots, 0] = v[sel] % src_stride
+        if rel is not None:
+            lr_rel[slots, 0] = np.asarray(rel)[sel]
+        if return_residue:
+            drop_sel = order[~fit]
+            res = (
+                u[drop_sel], v[drop_sel],
+                (np.asarray(rel)[drop_sel] if rel is not None
+                 else np.zeros(len(drop_sel), np.int32)),
+            )
         used = min(int(g_chunk_start[-1]), nc)
         if used:
             ch_ids = np.arange(used)
@@ -599,6 +612,10 @@ def build_pair_plan(
         "sswin": sswin,
         "sfirst": sfirst,
     }
+    if lr_rel is not None:
+        plan["rel"] = lr_rel
+    if return_residue:
+        return plan, dropped, res
     return plan, dropped
 
 
@@ -862,10 +879,41 @@ def pack_batch(
     # ops/pallas_scenario_agg; cross-window edges and the residue past a
     # window's budget stay in the classic lists.
     plan_lu = plan_lv = plan_rel = None
+    spill_pair = None
     if plan_cap:
         plan_lu, plan_lv, plan_rel = build_window_plan(
             pend, names, stride, n_windows, plan_cap, stats
         )
+        if pack_cfg.spill_pairs:
+            # The window plan's residue rides a (dst-window, src-window)
+            # chunk-pair plan (ops/pallas_pair_agg); the classic lists keep
+            # only what overflows the pair capacity.
+            su = np.concatenate([pend[nm][0] for nm in names])
+            sv = np.concatenate([pend[nm][1] for nm in names])
+            sr = np.repeat(
+                np.arange(len(names), dtype=np.int32),
+                [len(pend[nm][0]) for nm in names],
+            )
+            plan_d, sp_dropped, (ru, rv, rr) = build_pair_plan(
+                su, sv, stride, stride, pack_cfg.max_spill_pair_edges,
+                pack_cfg.pair_chunk, rel=sr, return_residue=True,
+            )
+            stats["spill_pair_edges"] = int(len(su)) - sp_dropped
+            for r2, nm in enumerate(names):
+                m = rr == r2
+                pend[nm] = (ru[m], rv[m])
+            spill_pair = PairPlan(
+                idx=np.concatenate(
+                    [plan_d["lu"], plan_d["lv"], plan_d["rel"]], axis=1
+                ),
+                meta=np.stack([
+                    plan_d["dwin"], plan_d["swin"], plan_d["first"],
+                    plan_d["sperm"], plan_d["sswin"], plan_d["sfirst"],
+                ]),
+                chunk=pack_cfg.pair_chunk,
+                dst_stride=stride,
+                src_stride=stride,
+            )
 
     edges = {}
     for nm in names:
@@ -958,6 +1006,7 @@ def pack_batch(
             plan_lv=plan_lv,
             plan_rel=plan_rel,
             plan_scen=n_windows if plan_cap else 0,
+            spill_pair=spill_pair,
         ),
         fusion=fusion,
         gt_preds=gt_preds,

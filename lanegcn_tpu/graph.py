@@ -86,8 +86,9 @@ class PairPlan:
     # Two consolidated leaves (the axon relay pays high per-array transfer
     # latency, so the plan ships as 2 arrays instead of 8):
     # idx[:, 0] = window-local dst row, idx[:, 1] = window-local src row
-    # (-1 padding); meta rows = dwin, swin, first, sperm, sswin, sfirst.
-    idx: jax.Array  # [NC*chunk, 2] int32
+    # (-1 padding); optional idx[:, 2] = relation id (LaneConv spill
+    # plans); meta rows = dwin, swin, first, sperm, sswin, sfirst.
+    idx: jax.Array  # [NC*chunk, 2 or 3] int32
     meta: jax.Array  # [6, NC] int32
     chunk: int = struct.field(pytree_node=False, default=128)
     dst_stride: int = struct.field(pytree_node=False, default=0)
@@ -100,6 +101,10 @@ class PairPlan:
     @property
     def lv(self) -> jax.Array:
         return self.idx[:, 1:2]
+
+    @property
+    def rel(self) -> jax.Array:
+        return self.idx[:, 2:3]
 
     @property
     def dwin(self) -> jax.Array:
@@ -180,6 +185,11 @@ class LaneGraphBatch:
     # by v so the transpose scatter-add runs with indices_are_sorted. Built
     # by the packer together with `tables`; padding rows carry v = N (drop).
     table_inv: EdgeSet | None = None
+    # Cross-window / over-budget residue of the window plan as a
+    # (dst-window, src-window) chunk-pair plan for ops/pallas_pair_agg
+    # (PackConfig.spill_pairs; idx carries the relation column). None ⇒
+    # the residue stays in `edges`.
+    spill_pair: "PairPlan | None" = None
     # Scenario edge plan (ops/pallas_scenario_agg): with the packer's
     # STRIDED node layout (PackConfig.node_stride), the overflow edges are
     # re-expressed per scenario in local coordinates — plan_lu/plan_lv are

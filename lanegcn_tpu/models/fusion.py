@@ -238,7 +238,7 @@ class M2M(nn.Module):
         return LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="fuse"
         )(nodes, graph.edges, graph.bands, graph.tables, graph.table_inv,
-          plan=_graph_plan(graph))
+          plan=_graph_plan(graph), spill=getattr(graph, "spill_pair", None))
 
 
 class M2A(nn.Module):

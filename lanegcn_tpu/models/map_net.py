@@ -29,6 +29,7 @@ from lanegcn_tpu.graph import EdgeSet, LaneGraphBatch
 from lanegcn_tpu.models.layers import Dense, GroupNorm, Linear, torch_uniform_init
 from lanegcn_tpu.ops import masked_gather, scatter_add
 from lanegcn_tpu.ops.pallas_lane_layer import fused_lane_layer
+from lanegcn_tpu.ops.pallas_pair_agg import pair_aggregate
 from lanegcn_tpu.ops.pallas_scenario_agg import scenario_aggregate
 from lanegcn_tpu.ops.table_gather import stacked_table_gather
 
@@ -77,6 +78,7 @@ class LaneConvStack(nn.Module):
         tables: Dict[str, jax.Array] | None = None,
         table_inv: EdgeSet | None = None,
         plan: tuple | None = None,  # (lu, lv, rel, num_scen) scenario plan
+        spill=None,  # graph.PairPlan: cross-window residue (pallas_pair_agg)
     ) -> jax.Array:
         """bands: optional per-relation [N] bool masks of intra-lane edges
         (v = u + band_shift(nm)); applied as a masked roll — one vector op
@@ -194,6 +196,18 @@ class LaneConvStack(nn.Module):
                     lu, lv, rel_ids, num_scen,
                     mode=self._scen_agg_mode(),
                 )
+            if spill is not None:
+                # Cross-window / over-budget residue as (dst-window,
+                # src-window) chunk pairs (ops/pallas_pair_agg) — the
+                # classic lists above then hold only the pair-capacity
+                # overflow (normally empty).
+                temp = pair_aggregate(
+                    feat.astype(self.dtype),
+                    temp,
+                    w_rel.astype(self.dtype),
+                    spill,
+                    mode=self._scen_agg_mode(),
+                )
 
             if fused:
                 # Fully-fused layer: the 12 band matmuls + GN → ReLU →
@@ -284,4 +298,4 @@ class MapNet(nn.Module):
         return LaneConvStack(
             self.cfg, self.cfg.num_fuse_layers, dtype=self.dtype, name="fuse"
         )(feat, graph.edges, graph.bands, graph.tables, graph.table_inv,
-          plan=_graph_plan(graph))
+          plan=_graph_plan(graph), spill=getattr(graph, "spill_pair", None))
