@@ -193,37 +193,52 @@ def cmd_train(args):
     # band/table/Pallas fusions stay the single-chip fast path.
     graph_n_req = _parse_mesh(args.mesh)[1] if args.mesh else 1
     gp_mode = getattr(args, "graph_parallel", "windowed")
-    if gp_mode == "windowed" and args.model != "lanegcn":
-        gp_mode = "explicit"  # windowed sub-packing is wired for LaneGCN
     explicit_gp = (
         graph_n_req > 1
         and args.model in ("lanegcn", "lanercnn")
         and gp_mode == "explicit"
     )
-    windowed_gp = graph_n_req > 1 and args.model == "lanegcn" and gp_mode == "windowed"
+    windowed_gp = (
+        graph_n_req > 1
+        and args.model in ("lanegcn", "lanercnn")
+        and gp_mode == "windowed"
+    )
     loader_kw = {}
     if windowed_gp:
         # Scenario-aligned graph shards: each loader group of S scenarios
         # packs into G sub-packs of S/G at 1/G capacities; every shard then
         # runs the UNMODIFIED fast path (parallel/windowed_parallel.py).
-        from lanegcn_tpu.data.packing import pack_batch as _pack_batch
-        from lanegcn_tpu.parallel.windowed_parallel import subdivide_pack_config
+        from lanegcn_tpu.parallel.windowed_parallel import (
+            subdivide_pack_config,
+            subdivide_roi_pack_config,
+        )
 
-        _sub_cfg = subdivide_pack_config(config.pack, graph_n_req)
+        if args.model == "lanercnn":
+            from lanegcn_tpu.data.packing_roi import pack_roi_batch
+
+            _sub_cfg = subdivide_roi_pack_config(config.roi_pack, graph_n_req)
+            _pack_batch = lambda scens, sub, mcfg: pack_roi_batch(scens, sub, mcfg)
+        else:
+            from lanegcn_tpu.data.packing import pack_batch as _pb
+
+            _sub_cfg = subdivide_pack_config(config.pack, graph_n_req)
+            _pack_batch = lambda scens, sub, mcfg: _pb(scens, sub, mcfg)
 
         def _pack_windowed(scens, cfg):
-            per = max(len(scens) // graph_n_req, 1)
+            import numpy as _np
+
+            # array_split semantics: a short last group spreads its
+            # remainder over the shards instead of dropping it.
+            bounds = _np.linspace(0, len(scens), graph_n_req + 1).astype(int)
             subs, merged = [], {}
             for g1 in range(graph_n_req):
                 sb, st = _pack_batch(
-                    scens[g1 * per : (g1 + 1) * per], _sub_cfg, cfg.model
+                    scens[bounds[g1] : bounds[g1 + 1]], _sub_cfg, cfg.model
                 )
                 subs.append(sb)
                 for k, v in st.items():
                     if isinstance(v, (int, float)):
                         merged[k] = merged.get(k, 0) + v
-            import numpy as _np
-
             return jax.tree.map(lambda *x: _np.stack(x), *subs), merged
 
         loader_kw["packer"] = _pack_windowed
@@ -304,9 +319,15 @@ def cmd_train(args):
                 f"nodes {n_glob}) must divide the graph axis {graph_n}"
             )
         elif windowed_gp:
-            from lanegcn_tpu.parallel.windowed_parallel import subdivide_pack_config
+            from lanegcn_tpu.parallel.windowed_parallel import (
+                subdivide_pack_config,
+                subdivide_roi_pack_config,
+            )
 
-            subdivide_pack_config(config.pack, graph_n)  # divisibility asserts
+            if args.model == "lanercnn":
+                subdivide_roi_pack_config(config.roi_pack, graph_n)
+            else:
+                subdivide_pack_config(config.pack, graph_n)  # divisibility asserts
         elif explicit_gp:
             n_act = config.pack.max_actors * config.pack.max_scenarios
             assert config.pack.max_nodes % graph_n == 0 and n_act % graph_n == 0, (
@@ -425,13 +446,19 @@ def cmd_train(args):
         )
     elif windowed_gp:
         from lanegcn_tpu.parallel.windowed_parallel import (
+            make_windowed_parallel_roi_train_step,
             make_windowed_parallel_train_step,
         )
 
-        train_step = make_windowed_parallel_train_step(
-            config, tx, lr_fn, mesh, bundle.loss_fn, bundle.metrics_fn,
-            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        )
+        if args.model == "lanercnn":
+            train_step = make_windowed_parallel_roi_train_step(
+                config, net, tx, lr_fn, mesh, bundle.loss_fn, bundle.metrics_fn
+            )
+        else:
+            train_step = make_windowed_parallel_train_step(
+                config, tx, lr_fn, mesh, bundle.loss_fn, bundle.metrics_fn,
+                dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            )
     elif explicit_gp:
         from lanegcn_tpu.parallel import (
             make_explicit_parallel_roi_train_step,
@@ -724,7 +751,7 @@ def main(argv=None):
                     help="graph-axis strategy for --mesh DxG (G>1): windowed = "
                          "scenario-aligned shards running the full single-chip "
                          "fast path per shard (13 collectives/step, the "
-                         "production default; LaneGCN only), explicit = "
+                         "production default for both models), explicit = "
                          "source-partitioned shard_map kernels (for graphs "
                          "bigger than one shard), gspmd = XLA-inferred "
                          "(tools/collective_audit.py has the measured "

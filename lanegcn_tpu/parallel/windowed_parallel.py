@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from lanegcn_tpu.config import Config, PackConfig
+from lanegcn_tpu.config import Config, PackConfig, RoiPackConfig
 from lanegcn_tpu.models.lanegcn import LaneGCN, agent_metrics, pred_loss
 from lanegcn_tpu.train.optimizer import guarded_optimizer_step, optimizer_step
 
@@ -84,6 +84,105 @@ def subdivide_pack_config(cfg: PackConfig, g: int) -> PackConfig:
         max_a2a_edges=div(cfg.max_a2a_edges, cfg.pair_chunk),
         max_table_edges=div(cfg.max_table_edges) if cfg.max_table_edges else 0,
     )
+
+
+def subdivide_roi_pack_config(cfg: RoiPackConfig, g: int) -> RoiPackConfig:
+    """LaneRCNN sub-pack config for one graph shard (mirrors
+    subdivide_pack_config; RoI subgraphs and the shared global graph are
+    both per-scenario structures, so scenario-aligned shards hold whole
+    RoIs + whole scenario graphs)."""
+    if g == 1:
+        return cfg
+    from lanegcn_tpu.ops.pallas_window_scatter import _WCHUNK
+
+    def div(n: int, align: int = 1) -> int:
+        return max(-(-n // g // align), 1) * align
+
+    assert cfg.max_scenarios % g == 0, (cfg.max_scenarios, g)
+    stride = cfg.node_stride or 1
+    g_stride = cfg.g_stride or 1
+    return dataclasses.replace(
+        cfg,
+        max_scenarios=cfg.max_scenarios // g,
+        max_rois=div(cfg.max_rois, 8),
+        max_roi_nodes=div(cfg.max_roi_nodes, stride),
+        max_interest_nodes=div(cfg.max_interest_nodes, 128),
+        max_global_nodes=(
+            div(cfg.max_global_nodes, g_stride) if cfg.max_global_nodes else 0
+        ),
+        max_edges_scale0=div(cfg.max_edges_scale0, 128),
+        max_edges_dilated=div(cfg.max_edges_dilated, 128),
+        max_edges_lr=div(cfg.max_edges_lr, 128),
+        max_a2m_edges=div(cfg.max_a2m_edges, 128),
+        # Pool edges must stay _WCHUNK-divisible for the window-slotted
+        # scatter; alignment padding per destination window means 1/G of
+        # the full cap can be tight — callers with skewed packs raise it.
+        max_pool_edges=div(cfg.max_pool_edges, _WCHUNK),
+        max_a2r_edges=div(cfg.max_a2r_edges, 128),
+        max_table_edges=div(cfg.max_table_edges) if cfg.max_table_edges else 0,
+    )
+
+
+def _finish_step(tx, lr_fn, guard, params, opt_state, metrics, grads, epoch):
+    """Shared step tail: G-fold-corrected gradient means, data-axis metric
+    reduction, (guarded) optimizer update."""
+    grads = jax.tree.map(
+        lambda x: jax.lax.pmean(jax.lax.pmean(x, "graph"), "data"), grads
+    )
+    loss_mean = jax.lax.pmean(metrics["loss"], "data")
+    metrics = {
+        k: (jax.lax.psum(v, "data") if k != "loss" else loss_mean)
+        for k, v in metrics.items()
+    }
+    lr = lr_fn(epoch)
+    if guard:
+        params, opt_state, ok = guarded_optimizer_step(
+            tx, params, grads, opt_state, lr, loss_mean
+        )
+        metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
+    else:
+        params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
+    metrics["lr"] = lr
+    return params, opt_state, metrics
+
+
+def make_windowed_parallel_roi_train_step(
+    config: Config, net, tx, lr_fn, mesh: Mesh, loss_fn, metrics_fn,
+):
+    """LaneRCNN windowed (scenario-aligned) train step: per-shard compute is
+    the unmodified RoI fast path (windowed RoI layouts, window-slotted pool
+    scatter) on a sub-pack; the RoI loss/metrics are purely per-scenario
+    ([B]-indexed), so the union view is three all_gathers."""
+    guard = config.train.nan_guard
+
+    def per_device(params, opt_state, batch, epoch):
+        pack = jax.tree.map(lambda x: jnp.squeeze(jnp.squeeze(x, 0), 0), batch)
+        ag = lambda x: jax.lax.all_gather(x, "graph", axis=0, tiled=True)
+
+        def objective(p):
+            out = net.apply({"params": p}, pack)
+            out_full = jax.tree.map(lambda v: ag(v.astype(jnp.float32)), out)
+            union = pack.replace(
+                gt_preds=ag(pack.gt_preds),
+                has_preds=ag(pack.has_preds),
+                scen_mask=ag(pack.scen_mask),
+            )
+            losses = loss_fn(out_full, union, config.loss)
+            m = dict(losses)
+            m.update(metrics_fn(out_full, union))
+            return losses["loss"], m
+
+        (_, metrics), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        return _finish_step(tx, lr_fn, guard, params, opt_state, metrics, grads, epoch)
+
+    shard_fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data", "graph"), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn, donate_argnums=(0, 1))
 
 
 def make_windowed_parallel_train_step(
@@ -136,24 +235,7 @@ def make_windowed_parallel_train_step(
         # on every graph shard and all_gather's VJP SUMS those G identical
         # cotangents, so each shard's local gradient already carries a
         # factor of G — the mean cancels it (graph_parallel.py docstring).
-        grads = jax.tree.map(
-            lambda x: jax.lax.pmean(jax.lax.pmean(x, "graph"), "data"), grads
-        )
-        loss_mean = jax.lax.pmean(metrics["loss"], "data")
-        metrics = {
-            k: (jax.lax.psum(v, "data") if k != "loss" else loss_mean)
-            for k, v in metrics.items()
-        }
-        lr = lr_fn(epoch)
-        if guard:
-            params, opt_state, ok = guarded_optimizer_step(
-                tx, params, grads, opt_state, lr, loss_mean
-            )
-            metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
-        else:
-            params, opt_state = optimizer_step(tx, params, grads, opt_state, lr)
-        metrics["lr"] = lr
-        return params, opt_state, metrics
+        return _finish_step(tx, lr_fn, guard, params, opt_state, metrics, grads, epoch)
 
     shard_fn = jax.shard_map(
         per_device,

@@ -9,7 +9,7 @@ import pytest
 
 from lanegcn_tpu.data.packing import build_pair_plan
 from lanegcn_tpu.graph import PairPlan
-from lanegcn_tpu.ops.pallas_win_edge import win_edge_mlp, xla_reference
+from lanegcn_tpu.ops.pallas_win_edge import win_edge_mlp
 
 
 def _random_edges(rng, n_edges, nd, ns):

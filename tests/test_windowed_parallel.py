@@ -146,3 +146,118 @@ def test_cli_windowed_graph_parallel(tmp_path):
     log = open(os.path.join(save_dir, "log")).read()
     assert "windowed (scenario-aligned)" in log, log
     assert "loss" in log, log
+
+
+@pytest.mark.slow
+def test_windowed_roi_step_matches_union_pack():
+    """LaneRCNN windowed step (data=2, graph=2) vs the 1-D data-mesh step
+    on the union RoI packs: the RoI loss is purely per-scenario, so the
+    union view is exact."""
+    from lanegcn_tpu.config import RoiPackConfig
+    from lanegcn_tpu.data.lane_roi import generate_lane_rois
+    from lanegcn_tpu.data.packing_roi import pack_roi_batch
+    from lanegcn_tpu.models.registry import get_model
+    from lanegcn_tpu.parallel.windowed_parallel import (
+        make_windowed_parallel_roi_train_step,
+        subdivide_roi_pack_config,
+    )
+
+    assert len(jax.devices()) >= 8
+    roi_full = RoiPackConfig(
+        max_scenarios=4,
+        max_rois=32,
+        max_roi_nodes=4096,
+        max_interest_nodes=512,
+        max_edges_scale0=3072,
+        max_edges_dilated=4096,
+        max_edges_lr=3072,
+        max_a2m_edges=1024,
+        max_pool_edges=12288,
+        max_a2r_edges=2048,
+    )
+    config = Config(
+        roi_pack=roi_full, train=TrainConfig(opt="sgd", nan_guard=False)
+    )
+    bundle = get_model("lanercnn", config)
+    config = bundle.config
+    sub_cfg = subdivide_roi_pack_config(config.roi_pack, G)
+    tx, lr_fn = make_optimizer(config.train)
+
+    def scens_for(d):
+        return [
+            generate_lane_rois(make_synthetic_scenario(
+                seed=300 + 10 * d + i, num_corridors=1, num_actors=4))
+            for i in range(4)
+        ]
+
+    big, subs = [], []
+    for d in range(D):
+        scens = scens_for(d)
+        b, st = pack_roi_batch(scens, config.roi_pack, config.model)
+        assert st["packed_scenarios"] == 4, st
+        big.append(b)
+        row = []
+        for gshard in range(G):
+            sb, sst = pack_roi_batch(
+                scens[2 * gshard : 2 * gshard + 2], sub_cfg, config.model
+            )
+            assert sst["packed_scenarios"] == 2, sst
+            row.append(sb)
+        subs.append(jax.tree.map(lambda *x: np.stack(x), *row))
+    batch_big = jax.tree.map(lambda *x: np.stack(x), *big)
+    batch_sub = jax.tree.map(lambda *x: jnp.asarray(np.stack(x)), *subs)
+
+    sample = jax.tree.map(lambda x: jnp.asarray(x[0]), batch_big)
+    params = bundle.net.init(jax.random.PRNGKey(9), sample)["params"]
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x), t)
+
+    mesh2d = make_mesh_2d(jax.devices()[:4], data=D, graph=G)
+    step_w = make_windowed_parallel_roi_train_step(
+        config, bundle.net, tx, lr_fn, mesh2d, bundle.loss_fn, bundle.metrics_fn
+    )
+    p_w, _, m_w = step_w(copy(params), tx.init(copy(params)), batch_sub, 0.0)
+
+    mesh1d = make_mesh(jax.devices()[:D])
+    step1d = make_parallel_train_step(
+        config, bundle.net, tx, lr_fn, mesh1d,
+        loss_fn=bundle.loss_fn, metrics_fn=bundle.metrics_fn,
+    )
+    p_1d, _, m1d = step1d(copy(params), tx.init(copy(params)), batch_big, 0.0)
+
+    np.testing.assert_allclose(float(m_w["loss"]), float(m1d["loss"]), rtol=1e-4)
+    assert float(m_w["num_scen"]) == float(m1d["num_scen"])
+    np.testing.assert_allclose(
+        float(m_w["ade_sum"]), float(m1d["ade_sum"]), rtol=1e-4
+    )
+
+    from jax.flatten_util import ravel_pytree
+
+    fw, _ = ravel_pytree(p_w)
+    f1, _ = ravel_pytree(p_1d)
+    scale = float(jnp.max(jnp.abs(f1))) or 1.0
+    np.testing.assert_allclose(
+        np.asarray(fw) / scale, np.asarray(f1) / scale, rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.slow
+def test_cli_windowed_lanercnn(tmp_path):
+    """`train --model lanercnn --mesh 2x2` takes the windowed default."""
+    import os
+    import sys
+
+    from lanegcn_tpu.cli import main
+
+    save_dir = str(tmp_path / "run")
+    stdout = sys.stdout
+    try:
+        main([
+            "train", "--model", "lanercnn", "--data", "synthetic:8:1:4",
+            "--epochs", "1", "--batch-size", "4", "--save-dir", save_dir,
+            "--display-every", "1", "--mesh", "2x2",
+        ])
+    finally:
+        sys.stdout = stdout
+    log = open(os.path.join(save_dir, "log")).read()
+    assert "windowed (scenario-aligned)" in log, log
+    assert "loss" in log, log
