@@ -182,13 +182,24 @@ def occupancy(batch) -> dict:
     fusion = sum(
         int(np.sum(e.mask)) for e in (batch.fusion.a2m, batch.fusion.m2a, batch.fusion.a2a)
     )
+    # Pair-plan layouts (fusion_pairs / spill_pairs) carry their edges in
+    # PairPlan.idx instead of EdgeSets.
+    fusion += sum(
+        int(np.sum(np.asarray(p.idx)[:, 0] >= 0))
+        for p in (batch.fusion.pair_a2m, batch.fusion.pair_m2a, batch.fusion.pair_a2a)
+        if p is not None
+    )
     planned = (
         int(np.sum(np.asarray(batch.graph.plan_lu) >= 0))
         if batch.graph.plan_lu is not None else 0
     )
+    spill_paired = (
+        int(np.sum(np.asarray(batch.graph.spill_pair.idx)[:, 0] >= 0))
+        if getattr(batch.graph, "spill_pair", None) is not None else 0
+    )
     return {
         "overflow": overflow, "banded": banded, "tabled": tabled, "fusion": fusion,
-        "planned": planned,
+        "planned": planned, "spill_paired": spill_paired,
         "nodes_used": int(np.sum(batch.graph.node_mask)), "node_cap": n_cap,
     }
 
@@ -244,6 +255,7 @@ def main():
     )
     print(
         f"# edge occupancy/pack: {occ['planned']} planned (window one-hot), "
+        f"{occ['spill_paired']} spill-paired (pair one-hot), "
         f"{occ['overflow']} overflow (irregular scatter), {occ['banded']} "
         f"banded, {occ['tabled']} tabled, {occ['fusion']} fusion; nodes "
         f"{occ['nodes_used']}/{occ['node_cap']} "
