@@ -41,10 +41,12 @@ from lanegcn_tpu.models.layers import (
     Linear,
     LinearParams,
     SplitLinear,
+    _BareGN,
 )
 from lanegcn_tpu.models.map_net import LaneConvStack, _graph_plan
 from lanegcn_tpu.ops import masked_gather, scatter_add
 from lanegcn_tpu.ops.pallas_edge_mlp import fused_edge_mlp
+from lanegcn_tpu.ops.pallas_row_tail import fused_row_tail
 from lanegcn_tpu.ops.table_gather import sorted_transpose_gather
 
 
@@ -120,9 +122,7 @@ class Att(nn.Module):
                 k_ch[:c], gchw, gchb, kout, pair,
                 has_dist2=True, has_query=True, mode=mode,
             )
-            agts = nn.relu(GroupNorm(name="norm")(agts))
-            agts = Linear(self.n_agt, act=False, dtype=dt, name="linear")(agts)
-            return nn.relu(agts + res)
+            return self._tail(agts, res)
 
         srt = edges.dst_sorted
 
@@ -191,6 +191,26 @@ class Att(nn.Module):
             edge_out, edges.u, num_agts, mask=edges.mask, out=agts,
             indices_are_sorted=srt,
         )
+        return self._tail(agts, res)
+
+    def _tail(self, agts: jax.Array, res: jax.Array) -> jax.Array:
+        """GN → ReLU → Linear → GN → +res → ReLU (reference
+        lanegcn.py:704-710).  On TPU the whole chain runs in the fused
+        row-tail Pallas kernel (ops/pallas_row_tail) — one HBM read of
+        agts/res, one write of the output; identical param tree either
+        way (norm/* + linear/{linear/kernel, norm/*})."""
+        mode = self.pallas_edge
+        if mode == "auto":
+            mode = "on" if jax.default_backend() in ("tpu", "axon") else "xla"
+        elif mode not in ("on", "interpret"):
+            mode = "xla"
+        if mode != "xla":
+            g1w, g1b = _BareGN(self.n_agt, name="norm")()
+            k, g2w, g2b = LinearParams(self.n_agt, self.n_agt, name="linear")()
+            return fused_row_tail(
+                agts.astype(self.dtype), res.astype(self.dtype),
+                k, g1w, g1b, g2w, g2b, mode=mode,
+            )
         agts = nn.relu(GroupNorm(name="norm")(agts))
         agts = Linear(self.n_agt, act=False, dtype=self.dtype, name="linear")(agts)
         return nn.relu(agts + res)
