@@ -33,11 +33,13 @@ from lanegcn_tpu.models.layers import (
     Linear,
     LinearParams,
     SplitLinear,
+    _BareGN,
 )
 from lanegcn_tpu.models.lanegcn import smooth_l1
 from lanegcn_tpu.models.map_net import LaneConvStack
 from lanegcn_tpu.ops import masked_gather, scatter_add
 from lanegcn_tpu.ops.pallas_edge_mlp import fused_edge_mlp
+from lanegcn_tpu.ops.pallas_row_tail import fused_row_tail2
 
 
 class LaneInput(nn.Module):
@@ -156,6 +158,22 @@ class LanePooling(nn.Module):
             tgt = scatter_add(
                 ctx, edges.u, tgt.shape[0], mask=edges.mask, out=tgt,
                 indices_are_sorted=edges.dst_sorted,
+            )
+        # Tail: GN → ReLU → mlp1 → mlp2 → +res → ReLU (lanercnn.py:497-505).
+        # On TPU the chain runs in the fused two-Linear row-tail kernel
+        # (ops/pallas_row_tail) — identical param tree either way.
+        mode = self.pallas_edge
+        if mode == "auto":
+            mode = "on" if jax.default_backend() in ("tpu", "axon") else "xla"
+        elif mode not in ("on", "interpret"):
+            mode = "xla"
+        if mode != "xla":
+            g1w, g1b = _BareGN(self.n, name="norm")()
+            k1, g2w, g2b = LinearParams(self.n, self.n, name="mlp1")()
+            k2, g3w, g3b = LinearParams(self.n, self.n, name="mlp2")()
+            return fused_row_tail2(
+                tgt.astype(self.dtype), identity.astype(self.dtype),
+                k1, k2, g1w, g1b, g2w, g2b, g3w, g3b, mode=mode,
             )
         tgt = nn.relu(GroupNorm(name="norm")(tgt))
         tgt = Linear(self.n, dtype=self.dtype, name="mlp1")(tgt)

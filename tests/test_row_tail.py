@@ -6,7 +6,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from lanegcn_tpu.ops.pallas_row_tail import fused_row_tail, xla_reference
+from lanegcn_tpu.ops.pallas_row_tail import (
+    fused_row_tail,
+    fused_row_tail2,
+    xla_reference,
+    xla_reference2,
+)
 
 
 def _inputs(n, c, dtype, seed=0):
@@ -52,6 +57,48 @@ def test_gradient_parity(n):
     g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
     g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
     names = ["x", "res", "w", "g1w", "g1b", "g2w", "g2b"]
+    for name, a, b in zip(names, g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def _inputs2(n, c, dtype, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 10)
+    x = jax.random.normal(ks[0], (n, c), dtype)
+    res = jax.random.normal(ks[1], (n, c), dtype) * 0.5
+    w1 = jax.random.normal(ks[2], (c, c), jnp.float32) * (1.0 / np.sqrt(c))
+    w2 = jax.random.normal(ks[3], (c, c), jnp.float32) * (1.0 / np.sqrt(c))
+    affs = []
+    for i in range(3):
+        affs.append(1.0 + 0.1 * jax.random.normal(ks[4 + 2 * i], (c,), jnp.float32))
+        affs.append(0.1 * jax.random.normal(ks[5 + 2 * i], (c,), jnp.float32))
+    return (x, res, w1, w2, *affs)
+
+
+@pytest.mark.parametrize("n", [256, 384])
+def test_forward_parity_two_linear(n):
+    args = _inputs2(n, 128, jnp.float32, seed=n)
+    got = fused_row_tail2(*args, mode="interpret")
+    want = xla_reference2(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradient_parity_two_linear():
+    args = _inputs2(256, 128, jnp.float32, seed=21)
+    cot = jax.random.normal(jax.random.PRNGKey(77), (256, 128), jnp.float32)
+
+    def loss_fused(*a):
+        return jnp.vdot(fused_row_tail2(*a, mode="interpret"), cot)
+
+    def loss_ref(*a):
+        return jnp.vdot(xla_reference2(*a), cot)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(10)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
+    names = ["x", "res", "w1", "w2", "g1w", "g1b", "g2w", "g2b", "g3w", "g3b"]
     for name, a, b in zip(names, g_fused, g_ref):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
