@@ -65,6 +65,16 @@ def use_pallas_edge(mode: str) -> bool:
     return mode in ("on", "interpret")
 
 
+def resolve_pallas_mode(mode: str) -> str:
+    """Resolve a pallas_edge mode flag to a concrete kernel mode:
+    "auto" → "on" on TPU backends else "xla"; anything that isn't a
+    kernel mode → "xla". Single source of truth for every call site that
+    passes a mode string straight to a Pallas op."""
+    if mode == "auto":
+        return "on" if jax.default_backend() in ("tpu", "axon") else "xla"
+    return mode if mode in ("on", "interpret") else "xla"
+
+
 class Att(nn.Module):
     """Distance-gated sparse attention (reference lanegcn.py:634-710).
 
@@ -112,11 +122,7 @@ class Att(nn.Module):
             qd = jnp.dot(query_all.astype(dt), k_ch[c : 2 * c].astype(dt))
             cs = jnp.dot(ctx.astype(dt), k_ch[2 * c :].astype(dt))
             temp = Dense(self.n_agt, use_bias=False, dtype=dt, name="agt")(agts)
-            mode = self.pallas_edge
-            if mode == "auto":
-                mode = "on" if jax.default_backend() in ("tpu", "axon") else "xla"
-            elif mode not in ("on", "interpret"):
-                mode = "xla"
+            mode = resolve_pallas_mode(self.pallas_edge)
             agts = win_edge_mlp(
                 pd, qd, ps, cs, temp.astype(dt), bd, kdo, gdow, gdob,
                 k_ch[:c], gchw, gchb, kout, pair,
@@ -199,11 +205,7 @@ class Att(nn.Module):
         row-tail Pallas kernel (ops/pallas_row_tail) — one HBM read of
         agts/res, one write of the output; identical param tree either
         way (norm/* + linear/{linear/kernel, norm/*})."""
-        mode = self.pallas_edge
-        if mode == "auto":
-            mode = "on" if jax.default_backend() in ("tpu", "axon") else "xla"
-        elif mode not in ("on", "interpret"):
-            mode = "xla"
+        mode = resolve_pallas_mode(self.pallas_edge)
         if mode != "xla":
             g1w, g1b = _BareGN(self.n_agt, name="norm")()
             k, g2w, g2b = LinearParams(self.n_agt, self.n_agt, name="linear")()

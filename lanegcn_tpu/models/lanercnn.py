@@ -104,7 +104,11 @@ class LanePooling(nn.Module):
         )
         # Feature gather: with destination-sorted edges (the pool-edge
         # layout) its backward is one permute + one sorted scatter.
-        from lanegcn_tpu.models.fusion import _edge_gather, use_pallas_edge
+        from lanegcn_tpu.models.fusion import (
+            _edge_gather,
+            resolve_pallas_mode,
+            use_pallas_edge,
+        )
 
         # ctx_hidden = Linear over concat([ctx_gathered, dist]); the context
         # segment is per-source-row, so its kernel slice applies densely at
@@ -147,9 +151,10 @@ class LanePooling(nn.Module):
             # scatter (and its transpose-gather backward) leave the step.
             from lanegcn_tpu.ops.pallas_window_scatter import window_scatter_add
 
-            wmode = (
-                "on" if jax.default_backend() in ("tpu", "axon") else "xla"
-            )
+            # Backend-gated only (not self.pallas_edge): interpret-mode
+            # parity for this kernel is covered by its own tests, and the
+            # CPU path should stay on the XLA scatter.
+            wmode = resolve_pallas_mode("auto")
             tgt = window_scatter_add(
                 ctx.astype(tgt.dtype), tgt, edges.win_lu, edges.win_chunk,
                 edges.win_first, edges.win_stride, mode=wmode,
@@ -162,11 +167,7 @@ class LanePooling(nn.Module):
         # Tail: GN → ReLU → mlp1 → mlp2 → +res → ReLU (lanercnn.py:497-505).
         # On TPU the chain runs in the fused two-Linear row-tail kernel
         # (ops/pallas_row_tail) — identical param tree either way.
-        mode = self.pallas_edge
-        if mode == "auto":
-            mode = "on" if jax.default_backend() in ("tpu", "axon") else "xla"
-        elif mode not in ("on", "interpret"):
-            mode = "xla"
+        mode = resolve_pallas_mode(self.pallas_edge)
         if mode != "xla":
             g1w, g1b = _BareGN(self.n, name="norm")()
             k1, g2w, g2b = LinearParams(self.n, self.n, name="mlp1")()

@@ -205,7 +205,10 @@ def _vjp_bwd(eps, interpret, saved, g_out):
     k = w.shape[0]
     # Re-pack the accumulated affine grads into the [2(K+1), c] layout.
     rows = [dgn[4 * i : 4 * i + 2] for i in range(k)] + [dgn[4 * k : 4 * k + 2]]
-    return dx, d_y, dw, jnp.concatenate(rows, axis=0)
+    # Cotangents must match the primal avals (w is packed in the activation
+    # dtype under --bf16; stricter JAX versions reject f32 cotangents here).
+    return (dx.astype(x.dtype), d_y.astype(res.dtype), dw.astype(w.dtype),
+            jnp.concatenate(rows, axis=0).astype(gn.dtype))
 
 
 _row_tail_p.defvjp(_vjp_fwd, _vjp_bwd)

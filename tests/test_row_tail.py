@@ -64,6 +64,40 @@ def test_gradient_parity(n):
         )
 
 
+def test_gradient_parity_bf16():
+    # Pins the bf16 backward path (the --bf16 production config routes
+    # every Att/LanePooling tail through the hand-written VJP with the
+    # packed w in bf16): loose tolerance, and the dw cotangent must come
+    # back in the packed primal's dtype without tripping custom_vjp
+    # dtype checks.
+    args = _inputs(512, 128, jnp.bfloat16, seed=17)
+    cot = jax.random.normal(jax.random.PRNGKey(55), (512, 128), jnp.float32)
+
+    def loss_fused(*a):
+        return jnp.vdot(fused_row_tail(*a, mode="interpret").astype(jnp.float32), cot)
+
+    def loss_ref(*a):
+        return jnp.vdot(xla_reference(*a).astype(jnp.float32), cot)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    names = ["x", "res", "w", "g1w", "g1b", "g2w", "g2b"]
+    for name, a, b in zip(names, g_fused, g_ref):
+        assert a.dtype == b.dtype, f"grad dtype mismatch for {name}"
+        a = np.asarray(a, dtype=np.float32)
+        b = np.asarray(b, dtype=np.float32)
+        scale = max(1.0, float(np.max(np.abs(b))))
+        # bf16 rounding can flip relu masks for near-zero pre-activations,
+        # so isolated elements may disagree; require the bulk to match and
+        # the aggregate error to be small.
+        bad = np.abs(a - b) / scale > 6e-2
+        assert bad.mean() < 1e-3, (
+            f"grad mismatch for {name}: {bad.sum()}/{bad.size} elements off"
+        )
+        rel_l2 = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-6)
+        assert rel_l2 < 6e-2, f"grad L2 mismatch for {name}: {rel_l2}"
+
+
 def _inputs2(n, c, dtype, seed=0):
     ks = jax.random.split(jax.random.PRNGKey(seed), 10)
     x = jax.random.normal(ks[0], (n, c), dtype)
