@@ -89,10 +89,13 @@ def run_bench(scen: int | None = None, remat: bool | None = None) -> dict:
         num_batches * scen_per_batch, num_corridors=7, num_actors=12, urban=True
     )
     batches = []
+    host_b0 = None
     all_drops: dict = {}
     for b in range(num_batches):
         scens = [ds[b * scen_per_batch + i] for i in range(scen_per_batch)]
         batch, stats = pack_roi_batch(scens, config.roi_pack, config.model)
+        if b == 0:
+            host_b0 = batch  # pre-transfer pack for the true-roofline accounting
         drops = {k: v for k, v in stats.items() if k.startswith("dropped") and v}
         assert stats["packed_scenarios"] == scen_per_batch, stats
         assert not drops, drops
@@ -145,13 +148,18 @@ def run_bench(scen: int | None = None, remat: bool | None = None) -> dict:
         "compile_s": round(compile_s, 1),
         "dropped": all_drops,
     }
-    # Bandwidth roofline for the RoI step (same method as bench.py).
+    # Bandwidth roofline for the RoI step (same method as bench.py), plus
+    # the round-5 TRUE floor (hand-counted Pallas costs, ops/cost_model).
     try:
-        lowered = train_step.lower(params, opt_state, batches[0], 0.0)
+        from lanegcn_tpu.ops import cost_model
+
+        with cost_model.recording() as kernel_recs:
+            lowered = train_step.lower(params, opt_state, batches[0], 0.0)
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         byts = ca.get("bytes accessed", 0.0)
+        flops = ca.get("flops", 0.0)
         kind = jax.devices()[0].device_kind
         from bench import PEAK_HBM_BW
 
@@ -169,6 +177,18 @@ def run_bench(scen: int | None = None, remat: bool | None = None) -> dict:
                 f"{pct:.0f}%",
                 file=sys.stderr,
             )
+        fl = cost_model.step_floor(kernel_recs, host_b0, byts, flops, kind)
+        true_floor = fl["totals"]["true_floor_ms"]
+        result["true_floor_ms"] = round(true_floor, 1)
+        result["pct_of_true_floor"] = round(100.0 * true_floor / step_ms, 1)
+        print(
+            f"# true floor: {true_floor:.1f} ms (xla "
+            f"{fl['totals']['xla_floor_ms']:.1f} + pallas "
+            f"{fl['totals']['pallas_floor_ms']:.1f}, {len(kernel_recs)} "
+            f"kernel calls) vs measured {step_ms:.1f} ms = "
+            f"{result['pct_of_true_floor']:.0f}%",
+            file=sys.stderr,
+        )
     except Exception as e:  # cost analysis is backend-dependent
         print(f"# cost analysis unavailable: {e}", file=sys.stderr)
     return result

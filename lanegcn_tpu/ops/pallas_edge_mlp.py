@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import cost_model
+
 _TILE = 512
 
 
@@ -227,6 +229,9 @@ def _fwd_impl(d, qg, cg, kd, bd, kdo, gdow, gdob, k1, gchw, gchb, kout,
         d, qg, cg, kd, bd, kdo, gdow, gdob, k1, gchw, gchb, kout,
         has_dist2, has_query,
     )
+    cost_model.record("edge_mlp", "fwd", e=e_pad, t=t, c=c, din=din,
+                      has_query=int(has_query), has_dist2=int(has_dist2),
+                      db=cg.dtype.itemsize)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, eps, has_dist2, has_query),
         grid=(e_pad // t,),
@@ -244,6 +249,9 @@ def _bwd_impl(d, qg, cg, kd, bd, kdo, gdow, gdob, k1, gchw, gchb, kout,
         d, qg, cg, kd, bd, kdo, gdow, gdob, k1, gchw, gchb, kout,
         has_dist2, has_query,
     )
+    cost_model.record("edge_mlp", "bwd", e=e_pad, t=t, c=c, din=din,
+                      has_query=int(has_query), has_dist2=int(has_dist2),
+                      db=cg.dtype.itemsize)
     g_p = _pad_rows(g_out.astype(cg.dtype), e_pad)
     edge_out = lambda w: pl.BlockSpec((t, w), lambda b: (b, 0), memory_space=pltpu.VMEM)
     acc = lambda r, w: pl.BlockSpec((r, w), lambda b: (0, 0), memory_space=pltpu.VMEM)

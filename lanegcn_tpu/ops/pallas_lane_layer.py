@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import cost_model
+
 HALO = 32
 _MLANES = 128
 
@@ -212,6 +214,8 @@ def _fwd_impl(feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b, shifts, eps,
     t = _pick_tile(n)
     assert t, f"num nodes {n} must be a multiple of 128"
     j = len(shifts)
+    cost_model.record("lane_layer", "fwd", n=n, c=c, t=t, j=j,
+                      db=feat.dtype.itemsize, save_temp=save_temp)
     xp = jnp.pad(feat, ((HALO, HALO), (0, 0)))
     mp = _mask_plane(masks, HALO)
     out_specs = pl.BlockSpec((t, c), lambda b: (b, 0), memory_space=pltpu.VMEM)
@@ -252,6 +256,8 @@ def _bwd_impl(feat, temp, masks, wb, w2, g1w, g1b, g2w, g2b, g_out, shifts, eps,
     n, c = feat.shape
     t = _pick_tile(n)
     j = len(shifts)
+    cost_model.record("lane_layer", "bwd", n=n, c=c, t=t, j=j,
+                      db=feat.dtype.itemsize, save_temp=False)
     xp = jnp.pad(feat, ((2 * HALO, 2 * HALO), (0, 0)))
     gp = jnp.pad(g_out.astype(feat.dtype), ((HALO, HALO), (0, 0)))
     pp = jnp.pad(temp, ((HALO, HALO), (0, 0)))

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+from . import cost_model
+
 
 def _onehot(idx_col: jax.Array, width: int, dtype) -> jax.Array:
     iota = jax.lax.broadcasted_iota(jnp.int32, (idx_col.shape[0], width), 1)
@@ -140,6 +142,8 @@ def _pallas_fwd(plan, interpret, feat, temp, w_rel):
     sd, ss, ch = plan.dst_stride, plan.src_stride, plan.chunk
     nc = plan.dwin.shape[0]
     r = w_rel.shape[0]
+    cost_model.record("pair_agg", "fwd", nc=nc, chunk=ch, sd=sd, ss=ss, c=c,
+                      r=r, db=feat.dtype.itemsize)
     nv = _nv(plan.lu, nc, ch)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -171,6 +175,10 @@ def _pallas_bwd(plan, interpret, feat, g, w_rel):
     sd, ss, ch = plan.dst_stride, plan.src_stride, plan.chunk
     nc = plan.dwin.shape[0]
     r = w_rel.shape[0]
+    cost_model.record("pair_agg", "bwd_d", nc=nc, chunk=ch, sd=sd, ss=ss, c=c,
+                      r=r, db=feat.dtype.itemsize)
+    cost_model.record("pair_agg", "bwd_s", nc=nc, chunk=ch, sd=sd, ss=ss, c=c,
+                      r=r, db=feat.dtype.itemsize)
     nv = _nv(plan.lu, nc, ch)
     d_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

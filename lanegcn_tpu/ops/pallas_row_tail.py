@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import cost_model
+
 
 def _gn_fwd(t, w, b, eps):
     mu = jnp.mean(t, axis=1, keepdims=True)
@@ -151,6 +153,8 @@ def _fwd_impl(x, res, w, gn, eps, interpret):
     n, c = x.shape
     k = w.shape[0]
     t = _tile(n)
+    cost_model.record("row_tail", "fwd", n=n, t=t, c=c, k=k,
+                      db=x.dtype.itemsize)
     row = pl.BlockSpec((t, c), lambda b: (b, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, k, eps),
@@ -166,6 +170,8 @@ def _bwd_impl(x, res, w, gn, g_out, eps, interpret):
     n, c = x.shape
     k = w.shape[0]
     t = _tile(n)
+    cost_model.record("row_tail", "bwd", n=n, t=t, c=c, k=k,
+                      db=x.dtype.itemsize)
     row = pl.BlockSpec((t, c), lambda b: (b, 0), memory_space=pltpu.VMEM)
     # dgn rows: 4 per stage (gw, gb, pad, pad) + 2 final + pad to sublanes.
     gn_rows = 4 * k + 8

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+from . import cost_model
+
 # Relation-matmul formulation: "0" = one masked [chunk,C]x[C,C] matmul per
 # relation (14 dispatches/chunk), "1" = lane-concatenate the masked copies
 # and contract once as [chunk, R*C]x[R*C, C]. A/B'd on TPU v5e (see
@@ -215,6 +217,8 @@ def _pallas_fwd(num_scen, interpret, feat, temp, w_rel, lu, lv, rel):
     n, c = feat.shape
     stride, ecap = _geometry(n, lu.shape[0], num_scen)
     r = w_rel.shape[0]
+    cost_model.record("scenario_agg", "fwd", s=num_scen, stride=stride,
+                      ecap=ecap, c=c, r=r, db=feat.dtype.itemsize)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_scen,),
@@ -243,6 +247,8 @@ def _pallas_bwd(num_scen, interpret, feat, g, w_rel, lu, lv, rel):
     n, c = feat.shape
     stride, ecap = _geometry(n, lu.shape[0], num_scen)
     r = w_rel.shape[0]
+    cost_model.record("scenario_agg", "bwd", s=num_scen, stride=stride,
+                      ecap=ecap, c=c, r=r, db=feat.dtype.itemsize)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_scen,),

@@ -50,6 +50,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+from . import cost_model
+
 
 def _onehot(idx_col: jax.Array, width: int, dtype) -> jax.Array:
     iota = jax.lax.broadcasted_iota(jnp.int32, (idx_col.shape[0], width), 1)
@@ -265,6 +267,9 @@ def _pallas_fwd(plan, has_dist2, has_query, eps, interpret,
     ns = ps.shape[0]
     sd, ss, ch = plan.dst_stride, plan.src_stride, plan.chunk
     nc = plan.dwin.shape[0]
+    cost_model.record("win_edge", "fwd", nc=nc, chunk=ch, sd=sd, ss=ss, c=c,
+                      has_query=int(has_query), has_dist2=int(has_dist2),
+                      db=pd.dtype.itemsize)
     if not has_query:
         qd = jnp.zeros((1, c), pd.dtype)
     qd_spec = (
@@ -316,6 +321,12 @@ def _pallas_bwd(plan, has_dist2, has_query, eps, interpret,
     ns = ps.shape[0]
     sd, ss, ch = plan.dst_stride, plan.src_stride, plan.chunk
     nc = plan.dwin.shape[0]
+    cost_model.record("win_edge", "bwd_d", nc=nc, chunk=ch, sd=sd, ss=ss, c=c,
+                      has_query=int(has_query), has_dist2=int(has_dist2),
+                      db=pd.dtype.itemsize)
+    cost_model.record("win_edge", "bwd_s", nc=nc, chunk=ch, sd=sd, ss=ss, c=c,
+                      has_query=int(has_query), has_dist2=int(has_dist2),
+                      db=pd.dtype.itemsize)
     if not has_query:
         qd = jnp.zeros((1, c), pd.dtype)
     qd_spec = (

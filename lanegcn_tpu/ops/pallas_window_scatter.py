@@ -82,9 +82,13 @@ def _geometry(e: int, n: int, stride: int):
 def _pallas_fwd(stride, interpret, msg, temp, lu, wchunk, first):
     from jax.experimental.pallas import tpu as pltpu
 
+    from . import cost_model
+
     e, c = msg.shape
     n = temp.shape[0]
     nch = _geometry(e, n, stride)
+    cost_model.record("window_scatter", "fwd", nch=nch, chunk=_WCHUNK,
+                      stride=stride, c=c, db=msg.dtype.itemsize)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nch,),
@@ -107,9 +111,13 @@ def _pallas_fwd(stride, interpret, msg, temp, lu, wchunk, first):
 def _pallas_bwd(stride, interpret, g, lu, wchunk, msg_dtype):
     from jax.experimental.pallas import tpu as pltpu
 
+    from . import cost_model
+
     n, c = g.shape
     e = lu.shape[0]
     nch = _geometry(e, n, stride)
+    cost_model.record("window_scatter", "bwd", nch=nch, chunk=_WCHUNK,
+                      stride=stride, c=c, db=jnp.dtype(msg_dtype).itemsize)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nch,),

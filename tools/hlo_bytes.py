@@ -37,8 +37,9 @@ def shape_bytes(s: str) -> int:
 
 
 INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^=]*?\))|(?:[\w\[\]{},: ]+?))\s*"
-    r"([\w\-]+)\((.*)$"
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*"      # instruction name
+    r"(\(.*?\)|\S+)\s+"                         # output shape (tuple or one token)
+    r"([a-z][\w\-]*)\((.*)$"                    # op kind + operands
 )
 
 

@@ -34,6 +34,16 @@ def attribute(trace_path: str, hlo_text: str, iters: float, top: int = 30):
     meta = {}
     for m in re.finditer(r'%([\w.\-]+) = [^\n]*?op_name="([^"]+)"', hlo_text):
         meta[m.group(1)] = m.group(2)
+    # Pallas custom-calls carry the kernel module in their source_file
+    # metadata — bucket device time per kernel FAMILY (round-5 VERDICT #2:
+    # per-kernel measured time to set against the cost-model floors).
+    kern = {}
+    for m in re.finditer(
+        r'%([\w.\-]+) = [^\n]*?custom_call_target="tpu_custom_call"'
+        r'[^\n]*?source_file="([^"]+)"', hlo_text,
+    ):
+        fam = m.group(2).rsplit("/", 1)[-1].replace("pallas_", "").replace(".py", "")
+        kern[m.group(1)] = fam
     data = json.load(gzip.open(trace_path))
     events = data["traceEvents"]
     pids = {}
@@ -46,9 +56,14 @@ def attribute(trace_path: str, hlo_text: str, iters: float, top: int = 30):
            and not re.fullmatch(r"\d+", e["name"])]
     by_mod = defaultdict(float)
     by_site = defaultdict(float)
+    by_kernel = defaultdict(float)
     for e in ops:
         op = meta.get(e["name"])
         d = e["dur"]
+        fam = kern.get(e["name"])
+        if fam is not None:
+            pre = "bwd:" if (op and "transpose" in op) else "fwd:"
+            by_kernel[pre + fam] += d
         if op is None:
             by_mod["<unattributed:" + re.sub(r"[.\d]+$", "", e["name"]) + ">"] += d
             continue
@@ -61,6 +76,10 @@ def attribute(trace_path: str, hlo_text: str, iters: float, top: int = 30):
     print(f"attributed device time: {total/1e3/iters:.1f} ms/iter")
     for k, v in sorted(by_mod.items(), key=lambda kv: -kv[1]):
         if v / 1e3 / iters > 0.3:
+            print(f"  {v/1e3/iters:7.2f} ms  {k}")
+    if by_kernel:
+        print("\n-- pallas kernel families (measured device ms/iter) --")
+        for k, v in sorted(by_kernel.items(), key=lambda kv: -kv[1]):
             print(f"  {v/1e3/iters:7.2f} ms  {k}")
     print("\n-- top op sites --")
     for k, v in sorted(by_site.items(), key=lambda kv: -kv[1])[:top]:
