@@ -279,8 +279,13 @@ def main():
 
     train_step = make_train_step(config, net, tx, lr_fn)
 
+    from lanegcn_tpu.ops import cost_model
+
     t0 = time.time()
-    params, opt_state, m = train_step(params, opt_state, batches[0], 0.0)
+    # Recording wraps the FIRST call: kernel cost records fire at trace
+    # time, and later .lower() calls reuse the cached jaxpr (no re-trace).
+    with cost_model.recording() as kernel_recs:
+        params, opt_state, m = train_step(params, opt_state, batches[0], 0.0)
     first_loss = float(m["loss"])  # value fetch: drains compile + execution
     compile_train_s = time.time() - t0
     print(f"# compile+first step: {compile_train_s:.1f}s", file=sys.stderr)
@@ -319,10 +324,7 @@ def main():
     true_floor_ms = None
     pct_of_true_floor = None
     try:
-        from lanegcn_tpu.ops import cost_model
-
-        with cost_model.recording() as kernel_recs:
-            lowered = train_step.lower(params, opt_state, batches[0], 0.0)
+        lowered = train_step.lower(params, opt_state, batches[0], 0.0)
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]

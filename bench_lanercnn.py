@@ -112,8 +112,13 @@ def run_bench(scen: int | None = None, remat: bool | None = None) -> dict:
         config, net, tx, lr_fn, loss_fn=roi_loss, metrics_fn=roi_metrics
     )
 
+    from lanegcn_tpu.ops import cost_model
+
     t0 = time.time()
-    params, opt_state, m = train_step(params, opt_state, batches[0], 0.0)
+    # Recording wraps the FIRST call: kernel cost records fire at trace
+    # time, and later .lower() calls reuse the cached jaxpr (no re-trace).
+    with cost_model.recording() as kernel_recs:
+        params, opt_state, m = train_step(params, opt_state, batches[0], 0.0)
     _ = float(m["loss"])  # value fetch: drains compile + execution
     compile_s = time.time() - t0
     print(f"# compile+first step: {compile_s:.1f}s", file=sys.stderr)
@@ -151,10 +156,7 @@ def run_bench(scen: int | None = None, remat: bool | None = None) -> dict:
     # Bandwidth roofline for the RoI step (same method as bench.py), plus
     # the round-5 TRUE floor (hand-counted Pallas costs, ops/cost_model).
     try:
-        from lanegcn_tpu.ops import cost_model
-
-        with cost_model.recording() as kernel_recs:
-            lowered = train_step.lower(params, opt_state, batches[0], 0.0)
+        lowered = train_step.lower(params, opt_state, batches[0], 0.0)
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]

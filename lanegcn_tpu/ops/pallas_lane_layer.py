@@ -64,15 +64,34 @@ def _fwd_kernel(shifts, tile, eps, save_temp, x_hbm, m_hbm, pre_ref, wb_ref, w2_
         t_ref = None
         xw, mw, sems = rest
     b = pl.program_id(0)
+    nb = pl.num_programs(0)
     t = tile
-    win = pl.ds(b * t, t + 2 * HALO)
-    cp_x = pltpu.make_async_copy(x_hbm.at[win], xw, sems.at[0])
-    cp_m = pltpu.make_async_copy(m_hbm.at[win], mw, sems.at[1])
-    cp_x.start()
-    cp_m.start()
-    cp_x.wait()
-    cp_m.wait()
-    x = xw[:, :]
+    # Double-buffered halo DMA: tile b+1's windows are fetched while tile b
+    # computes (round-5 VERDICT #2: the un-pipelined start→wait pair
+    # serialized ~2-3 µs of DMA latency per tile; lane_layer measured at
+    # 34% of its floor before this).
+    slot = jax.lax.rem(b, 2)
+    nslot = jax.lax.rem(b + 1, 2)
+
+    def dma(sl, idx):
+        win = pl.ds(idx * t, t + 2 * HALO)
+        return (pltpu.make_async_copy(x_hbm.at[win], xw.at[sl], sems.at[sl, 0]),
+                pltpu.make_async_copy(m_hbm.at[win], mw.at[sl], sems.at[sl, 1]))
+
+    @pl.when(b == 0)
+    def _():
+        for cp in dma(slot, b):
+            cp.start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        for cp in dma(nslot, b + 1):
+            cp.start()
+
+    for cp in dma(slot, b):
+        cp.wait()
+    x = xw[slot]
+    mw = mw.at[slot]
 
     temp = pre_ref[:, :].astype(jnp.float32)
     for j, s in enumerate(shifts):
@@ -106,21 +125,41 @@ def _bwd_kernel(shifts, tile, eps, x_hbm, g_hbm, temp_hbm, m_hbm, wb_ref,
                 dx_ref, dpre_ref, dwb_ref, dw2_ref, dgn_ref,
                 xw, gw, tw, mw, sems):
     b = pl.program_id(0)
+    nb = pl.num_programs(0)
     t = tile
     w2n = t + 2 * HALO  # temp-row window
-    cp_x = pltpu.make_async_copy(x_hbm.at[pl.ds(b * t, t + 4 * HALO)], xw, sems.at[0])
-    cp_g = pltpu.make_async_copy(g_hbm.at[pl.ds(b * t, w2n)], gw, sems.at[1])
-    cp_t = pltpu.make_async_copy(temp_hbm.at[pl.ds(b * t, w2n)], tw, sems.at[2])
-    cp_m = pltpu.make_async_copy(m_hbm.at[pl.ds(b * t, w2n)], mw, sems.at[3])
-    cp_x.start()
-    cp_g.start()
-    cp_t.start()
-    cp_m.start()
-    cp_x.wait()
-    cp_g.wait()
-    cp_t.wait()
-    cp_m.wait()
-    x = xw[:, :]
+    # Double-buffered halo DMA (see _fwd_kernel).
+    slot = jax.lax.rem(b, 2)
+    nslot = jax.lax.rem(b + 1, 2)
+
+    def dma(sl, idx):
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(idx * t, t + 4 * HALO)], xw.at[sl], sems.at[sl, 0]),
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(idx * t, w2n)], gw.at[sl], sems.at[sl, 1]),
+            pltpu.make_async_copy(
+                temp_hbm.at[pl.ds(idx * t, w2n)], tw.at[sl], sems.at[sl, 2]),
+            pltpu.make_async_copy(
+                m_hbm.at[pl.ds(idx * t, w2n)], mw.at[sl], sems.at[sl, 3]),
+        )
+
+    @pl.when(b == 0)
+    def _():
+        for cp in dma(slot, b):
+            cp.start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        for cp in dma(nslot, b + 1):
+            cp.start()
+
+    for cp in dma(slot, b):
+        cp.wait()
+    x = xw[slot]
+    gw = gw.at[slot]
+    tw = tw.at[slot]
+    mw = mw.at[slot]
 
     @pl.when(b == 0)
     def _():
@@ -244,9 +283,9 @@ def _fwd_impl(feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b, shifts, eps,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((t + 2 * HALO, c), feat.dtype),
-            pltpu.VMEM((t + 2 * HALO, _MLANES), feat.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, t + 2 * HALO, c), feat.dtype),
+            pltpu.VMEM((2, t + 2 * HALO, _MLANES), feat.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(xp, mp, pre, wb, w2, _row(g1w), _row(g1b), _row(g2w), _row(g2b))
@@ -292,11 +331,11 @@ def _bwd_impl(feat, temp, masks, wb, w2, g1w, g1b, g2w, g2b, g_out, shifts, eps,
             jax.ShapeDtypeStruct((8, c), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((t + 4 * HALO, c), feat.dtype),
-            pltpu.VMEM((t + 2 * HALO, c), feat.dtype),
-            pltpu.VMEM((t + 2 * HALO, c), jnp.float32),
-            pltpu.VMEM((t + 2 * HALO, _MLANES), feat.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, t + 4 * HALO, c), feat.dtype),
+            pltpu.VMEM((2, t + 2 * HALO, c), feat.dtype),
+            pltpu.VMEM((2, t + 2 * HALO, c), jnp.float32),
+            pltpu.VMEM((2, t + 2 * HALO, _MLANES), feat.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
         interpret=interpret,
     )(xp, gp, pp, mp, wb, w2, _row(g1w), _row(g1b), _row(g2w), _row(g2b))
