@@ -456,27 +456,48 @@ def build_window_plan(
     """Window edge plan for ops/pallas_scenario_agg: edges whose endpoints
     share one stride-window become per-window local (dst, src, relation)
     triples; cross-window edges and per-window budget overflow stay in the
-    classic lists (pend is mutated to hold only the residue). Functional /
+    classic lists (pend is mutated to hold only the residue).
+
+    Round-5 layout: slots are GROUP-ALIGNED — each window holds the
+    left/right edges first, padded to a 512-slot chunk multiple, then the
+    dilated relations. Chunks are then relation-group-pure and the kernel
+    runs only the group's relation matmuls (scenario_aggregate(groups=...)
+    — the alignment is that kernel's correctness invariant). Functional /
     cheap relations are admitted first so budget overflow lands on the
     high-dilation scales. Returns (plan_lu, plan_lv, plan_rel) as
     [n_windows*plan_cap, 1] int32."""
+    from lanegcn_tpu.ops.pallas_scenario_agg import _CHUNK, GROUPED_MIN_CAP
+
     num_rel = len(names)
+    chunk = _CHUNK
     plan_lu = np.full((n_windows * plan_cap, 1), -1, np.int32)
     plan_lv = np.full((n_windows * plan_cap, 1), -1, np.int32)
     plan_rel = np.full((n_windows * plan_cap, 1), -1, np.int32)
-    prio = sorted(
-        range(num_rel),
-        key=lambda r: (0 if names[r] in ("left", "right") else 1, names[r][3:]),
-    )
-    all_u = np.concatenate([pend[names[r]][0] for r in prio]).astype(np.int64)
-    all_v = np.concatenate([pend[names[r]][1] for r in prio]).astype(np.int64)
-    all_r = np.repeat(
-        np.asarray(prio, np.int32),
-        [len(pend[names[r]][0]) for r in prio],
-    )
+    key = lambda r: names[r][3:]
+    if plan_cap >= GROUPED_MIN_CAP:
+        groups = [
+            sorted((r for r in range(num_rel) if names[r] in ("left", "right")), key=key),
+            sorted((r for r in range(num_rel) if names[r] not in ("left", "right")), key=key),
+        ]
+        groups = [g for g in groups if g]
+    else:
+        # Too small for chunk-aligned group runs: single-group layout
+        # (functional relations still admitted first).
+        groups = [sorted(range(num_rel), key=lambda r: (
+            0 if names[r] in ("left", "right") else 1, names[r][3:]))]
     stats["plan_edges"] = 0
     stats["spilled_plan_edges"] = 0
-    if len(all_u):
+    stats["plan_align_pad"] = 0
+    offsets = np.zeros(n_windows, np.int64)  # next free slot per window
+    spills: list = []
+    for gi, grp in enumerate(groups):
+        all_u = np.concatenate([pend[names[r]][0] for r in grp]).astype(np.int64)
+        all_v = np.concatenate([pend[names[r]][1] for r in grp]).astype(np.int64)
+        all_r = np.repeat(
+            np.asarray(grp, np.int32), [len(pend[names[r]][0]) for r in grp]
+        )
+        if not len(all_u):
+            continue
         w_u = all_u // stride
         in_win = w_u == (all_v // stride)
         iw = np.nonzero(in_win)[0]
@@ -486,23 +507,36 @@ def build_window_plan(
         starts = np.zeros(n_windows, np.int64)
         np.cumsum(cnt[:-1], out=starts[1:])
         pos = np.arange(len(order), dtype=np.int64) - np.repeat(starts, cnt)
-        fit = pos < plan_cap
+        base = offsets[w_sorted]
+        fit = base + pos < plan_cap
         sel = order[fit]
-        slots = (w_sorted * plan_cap + pos)[fit]
+        slots = (w_sorted * plan_cap + base + pos)[fit]
         plan_lu[slots, 0] = all_u[sel] % stride
         plan_lv[slots, 0] = all_v[sel] % stride
         plan_rel[slots, 0] = all_r[sel]
         keep = np.zeros(len(all_u), bool)
         keep[sel] = True
-        stats["plan_edges"] = int(keep.sum())
-        stats["spilled_plan_edges"] = int((~keep).sum())
-        su, sv, sr = all_u[~keep], all_v[~keep], all_r[~keep]
-        for r2, nm in enumerate(names):
-            m = sr == r2
-            pend[nm] = (su[m], sv[m])
+        stats["plan_edges"] += int(keep.sum())
+        stats["spilled_plan_edges"] += int((~keep).sum())
+        spills.append((all_u[~keep], all_v[~keep], all_r[~keep]))
+        used = offsets + np.bincount(w_sorted[fit], minlength=n_windows)
+        if gi + 1 < len(groups):
+            # Chunk-align the next group's start (the kernel's invariant).
+            aligned = np.minimum(-(-used // chunk) * chunk, plan_cap)
+            stats["plan_align_pad"] += int((aligned - used).sum())
+            offsets = aligned
+        else:
+            offsets = used
+    if spills:
+        su = np.concatenate([s[0] for s in spills])
+        sv = np.concatenate([s[1] for s in spills])
+        sr = np.concatenate([s[2] for s in spills])
     else:
-        for nm in names:
-            pend[nm] = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        su = sv = np.zeros(0, np.int64)
+        sr = np.zeros(0, np.int32)
+    for r2, nm in enumerate(names):
+        m = sr == r2
+        pend[nm] = (su[m], sv[m])
     return plan_lu, plan_lv, plan_rel
 
 

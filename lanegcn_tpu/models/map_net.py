@@ -189,12 +189,26 @@ class LaneConvStack(nn.Module):
                 # one-hot MXU matmuls per scenario (the lists above carry
                 # only the spill residue). See ops/pallas_scenario_agg.
                 lu, lv, rel_ids, num_scen = plan
+                # Relation groups match build_window_plan's chunk-aligned
+                # layout: left/right chunks run 2 relation matmuls instead
+                # of 14 (~50% of plan edges on urban packs). Plans below
+                # GROUPED_MIN_CAP are built single-group (same constant on
+                # the packer side).
+                from lanegcn_tpu.ops.pallas_scenario_agg import GROUPED_MIN_CAP
+
+                ecap = lu.shape[0] // num_scen
+                lr = tuple(r for r, nm in enumerate(names)
+                           if nm in ("left", "right"))
+                dil = tuple(r for r, nm in enumerate(names)
+                            if nm not in ("left", "right"))
+                grouped = ecap >= GROUPED_MIN_CAP and lr and dil
                 temp = scenario_aggregate(
                     feat.astype(self.dtype),
                     temp,
                     w_rel.astype(self.dtype),
                     lu, lv, rel_ids, num_scen,
                     mode=self._scen_agg_mode(),
+                    groups=(lr, dil) if grouped else None,
                 )
             if spill is not None:
                 # Cross-window / over-budget residue as (dst-window,

@@ -140,16 +140,26 @@ def _pair_plan_stats(plan) -> dict:
     }
 
 
-def _scen_plan_stats(plan_lu, num_scen: int) -> dict:
+def _scen_plan_stats(plan_lu, plan_rel, num_scen: int) -> dict:
     lu = np.asarray(plan_lu)[:, 0]
+    rel = np.asarray(plan_rel)[:, 0]
     ecap = lu.shape[0] // num_scen
-    valid = (lu >= 0).reshape(num_scen, ecap).sum(axis=1)
+    vmask = (lu >= 0).reshape(num_scen, ecap)
+    valid = vmask.sum(axis=1)
+    relw = rel.reshape(num_scen, ecap)
+    nrel = int(relw.max()) + 1 if vmask.any() else 1
+    # per-window per-relation counts: lets the grouped-kernel cost compute
+    # chunk counts for any relation grouping.
+    rc = np.zeros((num_scen, nrel), np.int64)
+    for w in range(num_scen):
+        rc[w] = np.bincount(relw[w][vmask[w]], minlength=nrel)
     chunk = 512  # ops/pallas_scenario_agg._CHUNK
     return {
         "kind": "scen",
         "key": (num_scen, ecap),
         "chunks_total": int(np.sum(-(-valid // chunk))),
         "valid_edges": int(valid.sum()),
+        "rel_counts": rc,
     }
 
 
@@ -184,7 +194,7 @@ def plan_stats(batch) -> dict[tuple, dict]:
         if hasattr(obj, "plan_lu") and getattr(obj, "plan_lu", None) is not None:
             ps = getattr(obj, "plan_scen", 0)
             if ps:
-                found.append(_scen_plan_stats(obj.plan_lu, ps))
+                found.append(_scen_plan_stats(obj.plan_lu, obj.plan_rel, ps))
         if dataclasses.is_dataclass(obj):
             for f in dataclasses.fields(obj):
                 walk(getattr(obj, f.name), depth + 1)
@@ -202,7 +212,8 @@ def plan_stats(batch) -> dict[tuple, dict]:
     out = {}
     for key, group in by_key.items():
         merged = dict(group[0])
-        for fld in ("nonempty", "druns", "struns", "strans", "chunks_total", "wruns"):
+        for fld in ("nonempty", "druns", "struns", "strans", "chunks_total",
+                    "wruns", "valid_edges"):
             if fld in merged:
                 merged[fld] = float(np.mean([g[fld] for g in group]))
         out[key] = merged
@@ -253,20 +264,37 @@ def _cost_lane_layer(r, st):
 def _cost_scenario_agg(r, st):
     # ops/pallas_scenario_agg.py: grid (num_windows,), chunked one-hot
     # gather/relation/scatter matmuls; all-padding chunks skipped via
-    # scalar prefetch (chunks_total from host plan occupancy).
+    # scalar prefetch; relation-GROUPED chunks run only their group's
+    # matmuls (chunk counts per group from host plan occupancy).
     s, w, ecap, c, rr, db = r["s"], r["stride"], r["ecap"], r["c"], r["r"], r["db"]
-    ch = st["chunks_total"] if st else s * (ecap // _SCEN_CHUNK)
     e = _SCEN_CHUNK
-    valid_edges = st["valid_edges"] if st else ch * e
+    groups = r.get("groups") or (tuple(range(rr)),)
+    # (chunks, relations-per-chunk) pairs per group.
+    if st is not None and "rel_counts" in st and len(groups) > 1:
+        rc = st["rel_counts"]
+        per_group = []
+        for grp in groups:
+            ids = [g for g in grp if g < rc.shape[1]]
+            cnt = rc[:, ids].sum(axis=1)
+            per_group.append((int(np.sum(-(-cnt // e))), len(grp)))
+    elif st is not None:
+        per_group = [(st["chunks_total"], rr)]
+    else:
+        per_group = [(s * (ecap // e), rr)]
+    valid_edges = st["valid_edges"] if st else sum(ch for ch, _ in per_group) * e
+    macs = vpu = 0
+    for ch, ng in per_group:
+        if r["phase"] == "fwd":
+            macs += ch * (2 * e * w * c + ng * e * c * c)
+            vpu += ch * (2 * 3 * e * w + ng * e * c + ng * e)
+        else:
+            macs += ch * (3 * e * w * c + 2 * ng * e * c * c)
+            vpu += ch * (3 * 3 * e * w + 2 * ng * e * c + ng * e)
     if r["phase"] == "fwd":
         byts = s * (3 * w * c * db + 3 * ecap * 4) + rr * c * c * db
-        macs = ch * (2 * e * w * c + rr * e * c * c)
-        vpu = ch * (2 * 3 * e * w + rr * e * c + rr * e)
     else:
         byts = s * (3 * w * c * db + 3 * ecap * 4) \
             + rr * c * c * db + rr * c * c * 4
-        macs = ch * (3 * e * w * c + 2 * rr * e * c * c)
-        vpu = ch * (3 * 3 * e * w + 2 * rr * e * c + rr * e)
     return {"hbm_bytes": byts, "mxu_macs": macs,
             "useful_macs": valid_edges * c * c * (1 if r["phase"] == "fwd" else 2),
             "vpu_ops": vpu}

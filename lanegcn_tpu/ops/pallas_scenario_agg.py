@@ -57,9 +57,16 @@ def _onehot(idx_col: jax.Array, width: int, dtype) -> jax.Array:
 # one-hot matrices ([chunk, stride]) stay VMEM-small at large plan budgets.
 _CHUNK = 512
 
+# Relation-grouped plans need at least two chunks per window (each group's
+# run is chunk-aligned); below this capacity the packer and the model both
+# fall back to the single-group layout. Single source of truth for
+# build_window_plan (data/packing.py) and LaneConvStack (models/map_net.py).
+GROUPED_MIN_CAP = 2 * _CHUNK
+
 
 def _fwd_kernel(
-    num_rel, nch_ref, feat_ref, temp_ref, lu_ref, lv_ref, rel_ref, w_ref, out_ref
+    num_rel, groups, nch_ref, feat_ref, temp_ref, lu_ref, lv_ref, rel_ref,
+    w_ref, out_ref
 ):
     win = feat_ref[:]  # [stride, C]
     dt = win.dtype
@@ -67,54 +74,65 @@ def _fwd_kernel(
     ecap = lu_ref.shape[0]
     s = pl.program_id(0)
     out_ref[:] = temp_ref[:]
-    # Valid plan slots are prefix-dense per window (the packer fills them in
-    # admission order), so whole all-padding chunks are skipped via the
-    # prefetched per-window chunk count — plan occupancy stops costing MXU
-    # time.
+    # Valid plan slots are prefix-dense per window AND per relation GROUP
+    # (the packer chunk-aligns each group's run — build_window_plan), so a
+    # chunk runs only its group's relation matmuls: with left/right ~50% of
+    # plan edges, the per-chunk relation work drops from 14 masked matmuls
+    # to 2 on half the chunks (round-5 VERDICT #1/#2: the relation masking
+    # was half the kernel's 27-31x MAC inflation). nch_ref[s, g] holds the
+    # CUMULATIVE chunk boundary of group g; all-padding chunks skip
+    # entirely as before.
     for ck, c0 in enumerate(range(0, ecap, _CHUNK)):
         c1 = min(c0 + _CHUNK, ecap)
+        for gi, grp in enumerate(groups):
+            hi = nch_ref[s, gi]
+            cond = (ck < hi) if gi == 0 else jnp.logical_and(
+                ck >= nch_ref[s, gi - 1], ck < hi
+            )
 
-        @pl.when(ck < nch_ref[s])
-        def _(c0=c0, c1=c1):
-            lv = lv_ref[c0:c1]  # [chunk, 1]
-            lu = lu_ref[c0:c1]
-            rel = rel_ref[c0:c1]
-            gath = jnp.dot(
-                _onehot(lv, stride, dt), win, preferred_element_type=jnp.float32
-            ).astype(dt)  # [chunk, C]
-            if _BATCHED:
-                # All relations in ONE matmul: lane-concatenate the masked
-                # copies, contract against the vertically-stacked weights —
-                # Σ_r (gath ⊙ m_r) @ W_r == concat_r(gath ⊙ m_r) @
-                # vstack_r(W_r).
-                gath_stack = jnp.concatenate(
-                    [gath * (rel == r).astype(dt) for r in range(num_rel)], axis=1
-                )
-                msg = jnp.dot(
-                    gath_stack,
-                    w_ref[:].reshape(num_rel * c, c),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                msg = jnp.zeros((gath.shape[0], c), jnp.float32)
-                for r in range(num_rel):
-                    m = (rel == r).astype(dt)
-                    msg += jnp.dot(
-                        gath * m, w_ref[r], preferred_element_type=jnp.float32
+            @pl.when(cond)
+            def _(c0=c0, c1=c1, grp=grp):
+                lv = lv_ref[c0:c1]  # [chunk, 1]
+                lu = lu_ref[c0:c1]
+                rel = rel_ref[c0:c1]
+                gath = jnp.dot(
+                    _onehot(lv, stride, dt), win, preferred_element_type=jnp.float32
+                ).astype(dt)  # [chunk, C]
+                if _BATCHED:
+                    # All relations in ONE matmul: lane-concatenate the masked
+                    # copies, contract against the vertically-stacked weights —
+                    # Σ_r (gath ⊙ m_r) @ W_r == concat_r(gath ⊙ m_r) @
+                    # vstack_r(W_r).  (Batched mode requires the single-group
+                    # layout — asserted in _pallas_fwd.)
+                    gath_stack = jnp.concatenate(
+                        [gath * (rel == r).astype(dt) for r in range(num_rel)], axis=1
                     )
-            # Scatter one-hot: S_u[w, e] = [lu[e] == w].
-            s_u = (
-                jnp.transpose(lu)
-                == jax.lax.broadcasted_iota(jnp.int32, (stride, lu.shape[0]), 0)
-            ).astype(dt)
-            out_ref[:] = (
-                out_ref[:].astype(jnp.float32)
-                + jnp.dot(s_u, msg.astype(dt), preferred_element_type=jnp.float32)
-            ).astype(out_ref.dtype)
+                    msg = jnp.dot(
+                        gath_stack,
+                        w_ref[:].reshape(num_rel * c, c),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    msg = jnp.zeros((gath.shape[0], c), jnp.float32)
+                    for r in grp:
+                        m = (rel == r).astype(dt)
+                        msg += jnp.dot(
+                            gath * m, w_ref[r], preferred_element_type=jnp.float32
+                        )
+                # Scatter one-hot: S_u[w, e] = [lu[e] == w].
+                s_u = (
+                    jnp.transpose(lu)
+                    == jax.lax.broadcasted_iota(jnp.int32, (stride, lu.shape[0]), 0)
+                ).astype(dt)
+                out_ref[:] = (
+                    out_ref[:].astype(jnp.float32)
+                    + jnp.dot(s_u, msg.astype(dt), preferred_element_type=jnp.float32)
+                ).astype(out_ref.dtype)
 
 
 def _bwd_kernel(
     num_rel,
+    groups,
     nch_ref,
     feat_ref,
     g_ref,
@@ -139,63 +157,68 @@ def _bwd_kernel(
     dfeat_ref[:] = jnp.zeros(win.shape, dfeat_ref.dtype)
     for ck, c0 in enumerate(range(0, ecap, _CHUNK)):
         c1 = min(c0 + _CHUNK, ecap)
+        for gi, grp in enumerate(groups):
+            hi = nch_ref[s, gi]
+            cond = (ck < hi) if gi == 0 else jnp.logical_and(
+                ck >= nch_ref[s, gi - 1], ck < hi
+            )
 
-        @pl.when(ck < nch_ref[s])
-        def _(c0=c0, c1=c1):
-            lv = lv_ref[c0:c1]
-            lu = lu_ref[c0:c1]
-            rel = rel_ref[c0:c1]
-            # d_msg[e] = g[lu[e]] — gather one-hot on the destination side.
-            d_msg = jnp.dot(
-                _onehot(lu, stride, dt), g_win, preferred_element_type=jnp.float32
-            ).astype(dt)
-            gath = jnp.dot(
-                _onehot(lv, stride, dt), win, preferred_element_type=jnp.float32
-            ).astype(dt)
-            # Relation masks are row-disjoint, so masking one side suffices:
-            #   dW_r = (gath ⊙ m_r)ᵀ @ d_msg;  d_gath = Σ_r (d_msg ⊙ m_r) @ W_rᵀ
-            # w_t_ref holds the per-relation transposes (hoisted to the
-            # caller so the kernel never transposes).
-            if _BATCHED:
-                gath_stack = jnp.concatenate(
-                    [gath * (rel == r).astype(dt) for r in range(num_rel)], axis=1
-                )
-                dw_ref[:] += jax.lax.dot_general(
-                    gath_stack,
-                    d_msg,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).reshape(num_rel, c, c)
-                dmsg_stack = jnp.concatenate(
-                    [d_msg * (rel == r).astype(dt) for r in range(num_rel)], axis=1
-                )
-                d_gath = jnp.dot(
-                    dmsg_stack,
-                    w_t_ref[:].reshape(num_rel * c, c),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                d_gath = jnp.zeros(gath.shape, jnp.float32)
-                for r in range(num_rel):
-                    m = (rel == r).astype(dt)
-                    dw_ref[r] += jax.lax.dot_general(
-                        gath * m,
+            @pl.when(cond)
+            def _(c0=c0, c1=c1, grp=grp):
+                lv = lv_ref[c0:c1]
+                lu = lu_ref[c0:c1]
+                rel = rel_ref[c0:c1]
+                # d_msg[e] = g[lu[e]] — gather one-hot on the destination side.
+                d_msg = jnp.dot(
+                    _onehot(lu, stride, dt), g_win, preferred_element_type=jnp.float32
+                ).astype(dt)
+                gath = jnp.dot(
+                    _onehot(lv, stride, dt), win, preferred_element_type=jnp.float32
+                ).astype(dt)
+                # Relation masks are row-disjoint, so masking one side suffices:
+                #   dW_r = (gath ⊙ m_r)ᵀ @ d_msg;  d_gath = Σ_r (d_msg ⊙ m_r) @ W_rᵀ
+                # w_t_ref holds the per-relation transposes (hoisted to the
+                # caller so the kernel never transposes).
+                if _BATCHED:
+                    gath_stack = jnp.concatenate(
+                        [gath * (rel == r).astype(dt) for r in range(num_rel)], axis=1
+                    )
+                    dw_ref[:] += jax.lax.dot_general(
+                        gath_stack,
                         d_msg,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                    ).reshape(num_rel, c, c)
+                    dmsg_stack = jnp.concatenate(
+                        [d_msg * (rel == r).astype(dt) for r in range(num_rel)], axis=1
                     )
-                    d_gath += jnp.dot(
-                        d_msg * m, w_t_ref[r], preferred_element_type=jnp.float32
+                    d_gath = jnp.dot(
+                        dmsg_stack,
+                        w_t_ref[:].reshape(num_rel * c, c),
+                        preferred_element_type=jnp.float32,
                     )
-            # d_win += G_vᵀ @ d_gath — scatter one-hot on the source side.
-            s_v = (
-                jnp.transpose(lv)
-                == jax.lax.broadcasted_iota(jnp.int32, (stride, lv.shape[0]), 0)
-            ).astype(dt)
-            dfeat_ref[:] = (
-                dfeat_ref[:].astype(jnp.float32)
-                + jnp.dot(s_v, d_gath.astype(dt), preferred_element_type=jnp.float32)
-            ).astype(dfeat_ref.dtype)
+                else:
+                    d_gath = jnp.zeros(gath.shape, jnp.float32)
+                    for r in grp:
+                        m = (rel == r).astype(dt)
+                        dw_ref[r] += jax.lax.dot_general(
+                            gath * m,
+                            d_msg,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        d_gath += jnp.dot(
+                            d_msg * m, w_t_ref[r], preferred_element_type=jnp.float32
+                        )
+                # d_win += G_vᵀ @ d_gath — scatter one-hot on the source side.
+                s_v = (
+                    jnp.transpose(lv)
+                    == jax.lax.broadcasted_iota(jnp.int32, (stride, lv.shape[0]), 0)
+                ).astype(dt)
+                dfeat_ref[:] = (
+                    dfeat_ref[:].astype(jnp.float32)
+                    + jnp.dot(s_v, d_gath.astype(dt), preferred_element_type=jnp.float32)
+                ).astype(dfeat_ref.dtype)
 
 
 def _geometry(n: int, ecap_total: int, num_scen: int):
@@ -203,22 +226,41 @@ def _geometry(n: int, ecap_total: int, num_scen: int):
     return n // num_scen, ecap_total // num_scen
 
 
-def _num_chunks(lu, num_scen, ecap):
-    """Per-window chunk count: valid slots are prefix-dense, so
-    ceil(valid / _CHUNK) bounds the work; whole-padding chunks are skipped
-    in-kernel via scalar prefetch."""
-    valid = jnp.sum((lu >= 0).reshape(num_scen, ecap), axis=1)
-    return ((valid + _CHUNK - 1) // _CHUNK).astype(jnp.int32)
+def _group_chunk_ends(lu, rel, num_scen, ecap, groups):
+    """[S, G] int32 CUMULATIVE per-window chunk boundaries per relation
+    group. Valid slots are prefix-dense per window and chunk-aligned per
+    group (build_window_plan's invariant), so group g occupies chunks
+    [ends[s, g-1], ends[s, g]); all-padding chunks are skipped in-kernel
+    via scalar prefetch."""
+    valid = (lu >= 0).reshape(num_scen, ecap)
+    relw = rel.reshape(num_scen, ecap)
+    ends = []
+    total = jnp.zeros((num_scen,), jnp.int32)
+    for grp in groups:
+        m = valid
+        if len(groups) > 1:
+            sel = relw == grp[0]
+            for r in grp[1:]:
+                sel = jnp.logical_or(sel, relw == r)
+            m = jnp.logical_and(valid, sel)
+        cnt = jnp.sum(m, axis=1, dtype=jnp.int32)
+        total = total + (cnt + _CHUNK - 1) // _CHUNK
+        ends.append(total)
+    return jnp.stack(ends, axis=1)
 
 
-def _pallas_fwd(num_scen, interpret, feat, temp, w_rel, lu, lv, rel):
+def _pallas_fwd(num_scen, groups, interpret, feat, temp, w_rel, lu, lv, rel):
     from jax.experimental.pallas import tpu as pltpu
 
     n, c = feat.shape
     stride, ecap = _geometry(n, lu.shape[0], num_scen)
     r = w_rel.shape[0]
+    if groups is None:
+        groups = (tuple(range(r)),)
+    assert not (_BATCHED and len(groups) > 1), "SCEN_AGG_BATCHED needs 1 group"
     cost_model.record("scenario_agg", "fwd", s=num_scen, stride=stride,
-                      ecap=ecap, c=c, r=r, db=feat.dtype.itemsize)
+                      ecap=ecap, c=c, r=r, db=feat.dtype.itemsize,
+                      groups=tuple(tuple(g) for g in groups))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_scen,),
@@ -233,22 +275,26 @@ def _pallas_fwd(num_scen, interpret, feat, temp, w_rel, lu, lv, rel):
         out_specs=pl.BlockSpec((stride, c), lambda s, nch: (s, 0)),
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, r),
+        functools.partial(_fwd_kernel, r, groups),
         out_shape=jax.ShapeDtypeStruct((n, c), temp.dtype),
         grid_spec=grid_spec,
         input_output_aliases={2: 0},
         interpret=interpret,
-    )(_num_chunks(lu, num_scen, ecap), feat, temp, lu, lv, rel, w_rel)
+    )(_group_chunk_ends(lu, rel, num_scen, ecap, groups),
+      feat, temp, lu, lv, rel, w_rel)
 
 
-def _pallas_bwd(num_scen, interpret, feat, g, w_rel, lu, lv, rel):
+def _pallas_bwd(num_scen, groups, interpret, feat, g, w_rel, lu, lv, rel):
     from jax.experimental.pallas import tpu as pltpu
 
     n, c = feat.shape
     stride, ecap = _geometry(n, lu.shape[0], num_scen)
     r = w_rel.shape[0]
+    if groups is None:
+        groups = (tuple(range(r)),)
     cost_model.record("scenario_agg", "bwd", s=num_scen, stride=stride,
-                      ecap=ecap, c=c, r=r, db=feat.dtype.itemsize)
+                      ecap=ecap, c=c, r=r, db=feat.dtype.itemsize,
+                      groups=tuple(tuple(g) for g in groups))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_scen,),
@@ -266,7 +312,7 @@ def _pallas_bwd(num_scen, interpret, feat, g, w_rel, lu, lv, rel):
         ),
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, r),
+        functools.partial(_bwd_kernel, r, groups),
         out_shape=(
             jax.ShapeDtypeStruct((n, c), feat.dtype),
             jax.ShapeDtypeStruct((r, c, c), jnp.float32),
@@ -274,7 +320,7 @@ def _pallas_bwd(num_scen, interpret, feat, g, w_rel, lu, lv, rel):
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        _num_chunks(lu, num_scen, ecap),
+        _group_chunk_ends(lu, rel, num_scen, ecap, groups),
         feat,
         g,
         lu,
@@ -308,19 +354,19 @@ def xla_reference(feat, temp, w_rel, lu, lv, rel, num_scen: int):
     return temp + out.astype(temp.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _scenario_agg_p(feat, temp, w_rel, lu, lv, rel, num_scen, interpret):
-    return _pallas_fwd(num_scen, interpret, feat, temp, w_rel, lu, lv, rel)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _scenario_agg_p(feat, temp, w_rel, lu, lv, rel, num_scen, groups, interpret):
+    return _pallas_fwd(num_scen, groups, interpret, feat, temp, w_rel, lu, lv, rel)
 
 
-def _agg_fwd(feat, temp, w_rel, lu, lv, rel, num_scen, interpret):
-    out = _pallas_fwd(num_scen, interpret, feat, temp, w_rel, lu, lv, rel)
+def _agg_fwd(feat, temp, w_rel, lu, lv, rel, num_scen, groups, interpret):
+    out = _pallas_fwd(num_scen, groups, interpret, feat, temp, w_rel, lu, lv, rel)
     return out, (feat, w_rel, lu, lv, rel)
 
 
-def _agg_bwd(num_scen, interpret, res, g):
+def _agg_bwd(num_scen, groups, interpret, res, g):
     feat, w_rel, lu, lv, rel = res
-    dfeat, dw = _pallas_bwd(num_scen, interpret, feat, g, w_rel, lu, lv, rel)
+    dfeat, dw = _pallas_bwd(num_scen, groups, interpret, feat, g, w_rel, lu, lv, rel)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return (dfeat, g, dw.astype(w_rel.dtype), f0(lu), f0(lv), f0(rel))
 
@@ -337,14 +383,23 @@ def scenario_aggregate(
     rel: jax.Array,  # [S*ECAP, 1] int32 relation ids
     num_scen: int,
     mode: str = "on",  # "on" | "interpret" | "xla"
+    groups: tuple | None = None,
 ) -> jax.Array:
     """temp + Σ planned edges W_rel[rel] · feat[src] scattered to dst.
 
     Gradients flow to feat, temp, and w_rel (hand-written VJP; both
     directions are scenario-blocked Pallas kernels — no XLA scatter).
+
+    groups: optional tuple of relation-id tuples. REQUIRES the plan to be
+    chunk-aligned per group (build_window_plan emits this layout): each
+    window's slots hold group 0's edges first, padded to a _CHUNK
+    multiple, then group 1's, etc. Chunks then run only their group's
+    relation matmuls. An unaligned plan under groups SILENTLY DROPS the
+    out-of-group edges — pinned by tests/test_scenario_agg.py.
     """
     if mode == "xla":
         return xla_reference(feat, temp, w_rel, lu, lv, rel, num_scen)
     return _scenario_agg_p(
-        feat, temp, w_rel, lu, lv, rel, int(num_scen), mode == "interpret"
+        feat, temp, w_rel, lu, lv, rel, int(num_scen), groups,
+        mode == "interpret"
     )

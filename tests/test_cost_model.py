@@ -31,7 +31,9 @@ def test_scenario_agg_uses_host_occupancy():
     # (2 chunks of 512), window 1 empty.
     lu = np.full((2048, 1), -1, np.int32)
     lu[:600, 0] = np.arange(600) % 768
-    stats = {("scen", 2, 1024): cost_model._scen_plan_stats(lu, 2)}
+    rel = np.full((2048, 1), -1, np.int32)
+    rel[:600, 0] = np.arange(600) % 14
+    stats = {("scen", 2, 1024): cost_model._scen_plan_stats(lu, rel, 2)}
     rec = {"family": "scenario_agg", "phase": "fwd", "s": 2, "stride": 768,
            "ecap": 1024, "c": 128, "r": 14, "db": 2}
     out = cost_model.resolve([rec], stats)

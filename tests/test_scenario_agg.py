@@ -79,6 +79,115 @@ def test_gradient_parity_interpret_vs_xla():
         )
 
 
+def _grouped_case(seed=0, dtype=jnp.float32):
+    """Hand-built GROUP-ALIGNED plan: per window, left/right edges
+    (relations 12/13) fill chunk 0, dilated relations start at chunk 1 —
+    build_window_plan's layout for plan_cap >= GROUPED_MIN_CAP."""
+    from lanegcn_tpu.ops.pallas_scenario_agg import _CHUNK
+
+    S2, ECAP2 = 2, 2 * _CHUNK
+    rng = np.random.RandomState(seed)
+    feat = jnp.asarray(rng.randn(S2 * STRIDE, C) * 0.1, dtype)
+    temp = jnp.asarray(rng.randn(S2 * STRIDE, C) * 0.1, dtype)
+    w = jnp.asarray(rng.randn(R, C, C) * 0.05, dtype)
+    lu = np.full((S2, ECAP2), -1, np.int32)
+    lv = np.full((S2, ECAP2), -1, np.int32)
+    rel = np.full((S2, ECAP2), -1, np.int32)
+    for s in range(S2):
+        ka = rng.randint(5, _CHUNK)       # group A: left/right in chunk 0
+        kb = rng.randint(5, _CHUNK)       # group B: dilated from chunk 1
+        lu[s, :ka] = rng.randint(0, STRIDE, ka)
+        lv[s, :ka] = rng.randint(0, STRIDE, ka)
+        rel[s, :ka] = rng.randint(12, 14, ka)
+        lu[s, _CHUNK : _CHUNK + kb] = rng.randint(0, STRIDE, kb)
+        lv[s, _CHUNK : _CHUNK + kb] = rng.randint(0, STRIDE, kb)
+        rel[s, _CHUNK : _CHUNK + kb] = rng.randint(0, 12, kb)
+    args = (
+        feat, temp, w,
+        jnp.asarray(lu.reshape(-1, 1)),
+        jnp.asarray(lv.reshape(-1, 1)),
+        jnp.asarray(rel.reshape(-1, 1)),
+    )
+    groups = ((12, 13), tuple(range(12)))
+    return args, S2, groups
+
+
+def test_grouped_forward_parity():
+    args, S2, groups = _grouped_case(5)
+    out_k = scenario_aggregate(*args, num_scen=S2, mode="interpret", groups=groups)
+    out_x = scenario_aggregate(*args, num_scen=S2, mode="xla")
+    np.testing.assert_allclose(
+        np.asarray(out_k, np.float32), np.asarray(out_x, np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_grouped_gradient_parity():
+    args, S2, groups = _grouped_case(6)
+
+    def loss(mode, g):
+        def f(feat, temp, w):
+            out = scenario_aggregate(
+                feat, temp, w, *args[3:], num_scen=S2, mode=mode, groups=g
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    g_k = jax.grad(loss("interpret", groups), argnums=(0, 1, 2))(*args[:3])
+    g_x = jax.grad(loss("xla", None), argnums=(0, 1, 2))(*args[:3])
+    for a, b, nm in zip(g_k, g_x, ("feat", "temp", "w")):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-4, atol=2e-4, err_msg=nm,
+        )
+
+
+def test_packer_group_alignment_invariant():
+    """build_window_plan with plan_cap >= GROUPED_MIN_CAP must emit
+    group-pure chunks: per window, every left/right edge sits in a chunk
+    strictly before the first dilated edge's chunk, and the dilated run
+    starts on a chunk boundary — the grouped kernel's correctness
+    invariant (a violation silently drops edges)."""
+    from lanegcn_tpu.ops.pallas_scenario_agg import _CHUNK, GROUPED_MIN_CAP
+
+    cfg = PackConfig(
+        max_scenarios=8, max_actors=96, max_nodes=12 * 384, node_stride=384,
+        max_plan_edges=GROUPED_MIN_CAP, table_relations=(),
+        max_edges_scale0=512, max_edges_dilated=768, max_edges_lr=128,
+        max_a2m_edges=768, max_m2a_edges=768, max_a2a_edges=256,
+    )
+    from lanegcn_tpu.data.synthetic import make_urban_scenario
+
+    mc = ModelConfig()
+    # Urban junction graphs: both left/right AND dilated cross-lane residue
+    # land in the plan (corridor graphs put only left/right there).
+    scens = [
+        make_urban_scenario(seed=300 + i, num_corridors=3, num_actors=6)
+        for i in range(8)
+    ]
+    b, st = pack_batch(scens, cfg, mc)
+    names = relation_names(mc.num_scales)
+    lr_ids = {r for r, nm in enumerate(names) if nm in ("left", "right")}
+    S_w = b.graph.plan_scen
+    ecap = np.asarray(b.graph.plan_lu).shape[0] // S_w
+    rel = np.asarray(b.graph.plan_rel).reshape(S_w, ecap)
+    lu = np.asarray(b.graph.plan_lu).reshape(S_w, ecap)
+    saw_grouped_window = False
+    for w in range(S_w):
+        valid = np.nonzero(lu[w] >= 0)[0]
+        if len(valid) == 0:
+            continue
+        a_slots = valid[np.isin(rel[w][valid], list(lr_ids))]
+        b_slots = valid[~np.isin(rel[w][valid], list(lr_ids))]
+        if len(a_slots) and len(b_slots):
+            saw_grouped_window = True
+            assert a_slots.max() < b_slots.min()
+            assert b_slots.min() % _CHUNK == 0, (w, b_slots.min())
+            # chunk purity
+            assert (a_slots // _CHUNK).max() < (b_slots // _CHUNK).min()
+    assert saw_grouped_window, "test graphs produced no grouped windows"
+
+
 def _pack_cfgs():
     base = dict(
         max_scenarios=4, max_actors=48,
