@@ -227,13 +227,19 @@ def cmd_train(args):
         def _pack_windowed(scens, cfg):
             import numpy as _np
 
-            # array_split semantics: a short last group spreads its
-            # remainder over the shards instead of dropping it.
-            bounds = _np.linspace(0, len(scens), graph_n_req + 1).astype(int)
+            from lanegcn_tpu.parallel.windowed_parallel import balance_scenarios
+
+            # Greedy weight-balanced split (nodes+edges+actors per
+            # scenario): at 1/G sub-capacities a positional split lets a
+            # skewed draw overflow one shard's caps and drop edges
+            # (tests/test_windowed_parallel.py::test_skewed_split_*).
+            groups = balance_scenarios(
+                scens, graph_n_req, max_per_group=_sub_cfg.max_scenarios
+            )
             subs, merged = [], {}
             for g1 in range(graph_n_req):
                 sb, st = _pack_batch(
-                    scens[bounds[g1] : bounds[g1 + 1]], _sub_cfg, cfg.model
+                    [scens[i] for i in groups[g1]], _sub_cfg, cfg.model
                 )
                 subs.append(sb)
                 for k, v in st.items():
@@ -242,6 +248,31 @@ def cmd_train(args):
             return jax.tree.map(lambda *x: _np.stack(x), *subs), merged
 
         loader_kw["packer"] = _pack_windowed
+        if pc == 1:
+            # Single-process mesh: the loader worker builds the FULL
+            # [D, G, ...] step batch and transfers it mesh-sharded
+            # (device_put_blob(sharding=...)), so host→device copies
+            # overlap the in-flight step exactly like the single-device
+            # path (round-5 VERDICT #5 — the old gating re-exposed the
+            # relay's serialized main-thread transfers on `--mesh` runs).
+            data_req = _parse_mesh(args.mesh)[0]
+            spp = _sub_cfg.max_scenarios * graph_n_req
+
+            def _pack_windowed_global(scens, cfg, _inner=_pack_windowed,
+                                      _d=data_req, _spp=spp):
+                import numpy as _np
+
+                subs, merged = [], {}
+                for d in range(_d):
+                    sb, st = _inner(scens[d * _spp : (d + 1) * _spp], cfg)
+                    subs.append(sb)
+                    for k, v in st.items():
+                        if isinstance(v, (int, float)):
+                            merged[k] = merged.get(k, 0) + v
+                return jax.tree.map(lambda *x: _np.stack(x), *subs), merged
+
+            loader_kw["packer"] = _pack_windowed_global
+            loader_kw["scen_per_pack"] = spp * data_req
     if explicit_gp:
         # Pack AND partition edges per pack inside the loader workers so the
         # step loop stays host-work-free (the pure-Python partition loop
@@ -282,14 +313,26 @@ def cmd_train(args):
     # the display loop below aggregates dropped_*/skipped_*/spilled_* into
     # the training log so capacity overflow is visible, not stdout-only.
     drop_stats: list = []
+    # Worker-thread device transfers overlap the in-flight step. Three
+    # cases: plain single-device put; single-process mesh runs get a
+    # SHARDED blob put (the sharding cell is filled once the mesh exists
+    # below — the loader only packs after that); multi-host paths assemble
+    # global arrays from host numpy on the main thread.
+    _transfer_cell: dict = {}
+    if pc == 1 and not args.mesh:
+        _to_device = True
+    elif pc == 1 and windowed_gp:
+        def _to_device(batch):
+            from lanegcn_tpu.data.blob import device_put_blob
+
+            return device_put_blob(batch, sharding=_transfer_cell.get("sharding"))
+    else:
+        _to_device = False
     loader = _make_loader(
         dataset, config, args.model,
         shuffle=True, seed=config.train.seed, pack_workers=args.workers,
         process_index=pi, process_count=pc, drop_stats=drop_stats,
-        # single-device: device transfers ride the pack workers so they
-        # overlap the in-flight step (multi-host paths assemble global
-        # arrays from host numpy instead)
-        to_device=(pc == 1 and not args.mesh),
+        to_device=_to_device,
         **loader_kw,
     )
 
@@ -334,6 +377,10 @@ def cmd_train(args):
                 f"pack capacities (nodes {config.pack.max_nodes}, actors "
                 f"{n_act}) must divide the graph axis {graph_n}"
             )
+        if windowed_gp and pc == 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            _transfer_cell["sharding"] = NamedSharding(mesh, P("data", "graph"))
         if pi == 0:
             print(f"mesh: data={data_n} x graph={graph_n} on "
                   f"{[d.platform for d in mesh.devices.flat][0]}, "
@@ -346,6 +393,10 @@ def cmd_train(args):
     # One optimizer step consumes data_n packs globally; each process packs
     # its data_local share and assembles the rest via global arrays.
     data_local = data_n // pc
+    if windowed_gp and pc == 1 and mesh is not None:
+        # The loader worker already groups data_n packs per item and
+        # transfers them mesh-sharded — one loader item per step.
+        data_local = 1
     steps_per_epoch = max(loader.steps_per_epoch() // data_local, 1)
     state = {"first_pack": None, "shardings": None}
 
@@ -394,6 +445,12 @@ def cmd_train(args):
                 if state["first_pack"] is None:
                     state["first_pack"] = b
                 yield jax.tree.map(jnp.asarray, b)
+                continue
+            if windowed_gp and pc == 1:
+                # Full [D, G, ...] batch, already sharded by the worker.
+                if state["first_pack"] is None:
+                    state["first_pack"] = jax.tree.map(lambda x: x[0, 0], b)
+                yield b
                 continue
             group.append(b)
             if len(group) == data_local:

@@ -45,11 +45,14 @@ def _canon(leaf: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=32)
 def _make_unpacker(treedef, spec: Tuple[Tuple[tuple, str], ...],
-                   blob_dtypes: Tuple[str, ...]):
+                   blob_dtypes: Tuple[str, ...], sharding=None):
     """Jitted (blob_0, ..., blob_k) → pytree splitter.
 
     spec = ((shape, dtype-str), ...) per leaf; each leaf reads a static
-    1-D slice of its dtype's blob. bool leaves ride the uint8 blob."""
+    1-D slice of its dtype's blob. bool leaves ride the uint8 blob.
+    sharding: optional NamedSharding applied to every output leaf (the
+    mesh path: e.g. P('data', 'graph') over a stacked windowed batch) —
+    XLA lays the unpacked leaves out across the mesh directly."""
     offs = {d: 0 for d in blob_dtypes}
     plan = []
     for shape, dstr in spec:
@@ -69,14 +72,19 @@ def _make_unpacker(treedef, spec: Tuple[Tuple[tuple, str], ...],
             leaves.append(raw.reshape(shape))
         return jax.tree.unflatten(treedef, leaves)
 
+    if sharding is not None:
+        out_sh = jax.tree.unflatten(treedef, [sharding] * len(spec))
+        return jax.jit(unpack, out_shardings=out_sh)
     return jax.jit(unpack)
 
 
-def device_put_blob(tree: Any):
+def device_put_blob(tree: Any, sharding=None):
     """Transfer a pytree of host numpy arrays as one buffer per dtype and
     split on device. Returns the same pytree with device-array leaves
     (dtypes canonicalized exactly like jnp.asarray: int64→int32,
-    float64→float32)."""
+    float64→float32). sharding: optional NamedSharding for every leaf
+    (single-process mesh runs — the worker-thread transfer then lands
+    mesh-sharded, keeping the overlap the single-device path has)."""
     leaves, treedef = jax.tree.flatten(tree)
     leaves = [_canon(l) for l in leaves]
     spec = tuple((l.shape, l.dtype.str) for l in leaves)
@@ -92,4 +100,4 @@ def device_put_blob(tree: Any):
         if groups[d] else np.zeros(0, np.dtype(d))
         for d in blob_dtypes
     ]
-    return _make_unpacker(treedef, spec, blob_dtypes)(*blobs)
+    return _make_unpacker(treedef, spec, blob_dtypes, sharding)(*blobs)

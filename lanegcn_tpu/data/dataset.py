@@ -216,6 +216,14 @@ class PackedLoader:
 
                 from lanegcn_tpu.data.blob import device_put_blob
 
+                if callable(self.to_device):
+                    # Custom transfer (e.g. the mesh path's sharded blob
+                    # put — cli.py wires device_put_blob(sharding=...)).
+                    t0 = time.time()
+                    batch = self.to_device(batch)
+                    self.transfer_s += time.time() - t0
+                    self.transfer_packs += 1
+                    return batch
                 t0 = time.time()
                 # Dtype-grouped blobs + on-device split: the relay charges a
                 # ~50 ms round trip PER ARRAY, so leaf-wise transfers cost

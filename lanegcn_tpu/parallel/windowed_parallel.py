@@ -45,6 +45,60 @@ from lanegcn_tpu.models.lanegcn import LaneGCN, agent_metrics, pred_loss
 from lanegcn_tpu.train.optimizer import guarded_optimizer_step, optimizer_step
 
 
+def scenario_weight(scen) -> int:
+    """Packing weight of one scenario: lane nodes + graph edges + actors
+    (the three capacity families windowed sub-packs divide by G). RoI
+    scenarios additionally count their RoI subgraph nodes — the pool-edge
+    and RoI-node caps are the tight ones there."""
+    g = scen.get("graph") or {}
+    ctrs = g.get("ctrs")
+    nodes = int(g["num_nodes"]) if "num_nodes" in g else (
+        len(ctrs) if ctrs is not None else 0
+    )
+    edges = 0
+    for k in ("pre", "suc"):
+        for e in g.get(k, ()):
+            edges += len(e.get("u", ()))
+    for k in ("left", "right"):
+        d = g.get(k)
+        if isinstance(d, dict):
+            edges += len(d.get("u", ()))
+    actors = len(scen.get("ctrs", ()))
+    rois = scen.get("subgraphs") or ()  # LaneRCNN per-agent RoIs (lane_roi.py)
+    roi_nodes = sum(
+        len(r.get("ctrs", ())) if isinstance(r, dict) else 0 for r in rois
+    )
+    return nodes + edges // 4 + 8 * actors + 2 * roi_nodes
+
+
+def balance_scenarios(scens, g: int, weight_fn=scenario_weight,
+                      max_per_group: int | None = None):
+    """Greedy LPT split of scenarios into g groups balanced by
+    scenario_weight; returns g lists of indices, each in original order.
+
+    Replaces the positional np.linspace split (round-5 VERDICT #4): at 1/G
+    sub-capacities a skewed draw — a few dense urban scenarios landing in
+    one positional shard — overflows that shard's caps and silently drops
+    edges. Sorting by weight (descending) and assigning each scenario to
+    the lightest group keeps the max group weight within ~one scenario of
+    the mean. `max_per_group` caps group SIZE (the sub-pack's
+    max_scenarios); full groups stop receiving. Deterministic: ties break
+    on index."""
+    weights = [int(weight_fn(s)) for s in scens]
+    order = sorted(range(len(scens)), key=lambda i: (-weights[i], i))
+    totals = [0] * g
+    groups: list[list[int]] = [[] for _ in range(g)]
+    for i in order:
+        open_g = [k for k in range(g)
+                  if max_per_group is None or len(groups[k]) < max_per_group]
+        if not open_g:  # more scenarios than g*cap: overflow round-robins
+            open_g = list(range(g))
+        j = min(open_g, key=lambda k: (totals[k], k))
+        totals[j] += weights[i]
+        groups[j].append(i)
+    return [sorted(grp) for grp in groups]
+
+
 def subdivide_pack_config(cfg: PackConfig, g: int) -> PackConfig:
     """The sub-pack config for one graph shard: every capacity divided by
     G, alignment preserved. Scenario-aligned sharding = each shard packs
@@ -114,10 +168,14 @@ def subdivide_roi_pack_config(cfg: RoiPackConfig, g: int) -> RoiPackConfig:
         max_edges_dilated=div(cfg.max_edges_dilated, 128),
         max_edges_lr=div(cfg.max_edges_lr, 128),
         max_a2m_edges=div(cfg.max_a2m_edges, 128),
-        # Pool edges must stay _WCHUNK-divisible for the window-slotted
-        # scatter; alignment padding per destination window means 1/G of
-        # the full cap can be tight — callers with skewed packs raise it.
-        max_pool_edges=div(cfg.max_pool_edges, _WCHUNK),
+        # Pool edges stay _WCHUNK-divisible for the window-slotted scatter.
+        # 1/G of the full cap is NOT enough: the per-destination-window
+        # chunk alignment wastes up to _WCHUNK-1 slots per occupied window,
+        # and G sub-packs touch ~the same window count as the full pack —
+        # the round-5 dryrun drop assertion caught exactly this (44 pool
+        # edges silently dropped at g=2 tiny caps, the source of round-4's
+        # "5e-5 windowed loss deviation"). Add 4 chunks of alignment slack.
+        max_pool_edges=div(cfg.max_pool_edges, _WCHUNK) + 4 * _WCHUNK,
         max_a2r_edges=div(cfg.max_a2r_edges, 128),
         max_table_edges=div(cfg.max_table_edges) if cfg.max_table_edges else 0,
     )

