@@ -437,15 +437,36 @@ def main():
             pack_workers=workers, to_device=True,
         )
         # Warm epoch (fills caches, compiles nothing new), then measure.
+        # Decomposition: main-thread time blocked on the loader iterator
+        # (host packing + transfer not hidden behind the device) vs time in
+        # train_step dispatch (the relay's per-call round trips) — the two
+        # candidate walls for e2e < device rate.
         transfer_hidden_ms = None
         for ep in range(2):
             t0 = time.time()
             n = 0
-            for b in loader.epoch(ep):
+            wait_s = disp_s = 0.0
+            it = loader.epoch(ep)
+            while True:
+                tw = time.time()
+                b = next(it, None)
+                wait_s += time.time() - tw
+                if b is None:
+                    break
+                td = time.time()
                 params, opt_state, m = train_step(params, opt_state, b, 0.0)
+                disp_s += time.time() - td
                 n += scen_per_batch
             _ = float(m["loss"])  # drain
             dt = time.time() - t0
+            packs = n // scen_per_batch
+            print(
+                f"# e2e decomposition ep {ep}: loader-wait "
+                f"{1e3 * wait_s / packs:.1f} ms/pack, dispatch "
+                f"{1e3 * disp_s / packs:.1f} ms/pack, wall "
+                f"{1e3 * dt / packs:.1f} ms/pack",
+                file=sys.stderr,
+            )
             e2e_per_s = n / dt
             # The worker-thread transfer time per pack — the term a host
             # with async DMA overlaps; on the axon relay it serializes

@@ -50,11 +50,17 @@ from lanegcn_tpu.ops.pallas_row_tail import fused_row_tail
 from lanegcn_tpu.ops.table_gather import sorted_transpose_gather
 
 
-def _edge_gather(x, idx, mask, inv_perm, inv_dst):
+def _edge_gather(x, idx, mask, inv_perm, inv_dst, zero_masked=True):
     """Feature gather over edges: sorted-transpose VJP when the packer
-    provided the inverse order, plain masked gather otherwise."""
+    provided the inverse order, plain masked gather otherwise.
+    zero_masked=False skips the [E, C] padding select — pass it ONLY when
+    the gathered rows feed a masked destination scatter (see
+    sorted_transpose_gather)."""
     if inv_perm is not None:
-        return sorted_transpose_gather(x, idx, mask, inv_perm, inv_dst)
+        return sorted_transpose_gather(x, idx, mask, inv_perm, inv_dst,
+                                       zero_masked=zero_masked)
+    if not zero_masked:
+        return masked_gather(x, idx, None)
     return masked_gather(x, idx, mask)
 
 

@@ -113,8 +113,15 @@ class LanePooling(nn.Module):
         # ctx_hidden = Linear over concat([ctx_gathered, dist]); the context
         # segment is per-source-row, so its kernel slice applies densely at
         # context-row count before the edge gather (lanercnn.py:497-505).
+        # zero_masked=False: the pool-edge gather's [E, C] padding select
+        # was the top XLA-byte consumer of the step (~538 MB/direction);
+        # the edge chain's output is dropped for padding edges by the
+        # masked destination scatter (window_scatter lu=-1 / scatter_add
+        # mask) and their cotangents come back exactly zero, so skipping
+        # the select changes nothing (sorted_transpose_gather docstring).
         gather_c = lambda rows: _edge_gather(
-            rows, edges.v, edges.mask, edges.inv_perm, edges.inv_dst
+            rows, edges.v, edges.mask, edges.inv_perm, edges.inv_dst,
+            zero_masked=False,
         )
         if use_pallas_edge(self.pallas_edge):
             # Fused per-edge chain (ops/pallas_edge_mlp): relpose Dense +

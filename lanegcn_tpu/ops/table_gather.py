@@ -65,41 +65,62 @@ def _bwd(res, g):
 stacked_table_gather.defvjp(_fwd, _bwd)
 
 
-@jax.custom_vjp
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _stg_p(x, idx, mask, inv_perm, inv_dst, zero_masked):
+    return _stg_impl(x, idx, mask, zero_masked)
+
+
 def sorted_transpose_gather(
     x: jax.Array,  # [S, C] source rows
     idx: jax.Array,  # [E] int32 source index per edge
     mask: jax.Array,  # [E] bool
     inv_perm: jax.Array,  # [E] int32 argsort of idx over valid edges
     inv_dst: jax.Array,  # [E] int32 idx[inv_perm], non-decreasing; >= S drops
+    zero_masked: bool = True,
 ) -> jax.Array:  # [E, C]
     """masked_gather with a sorted-scatter transpose.
 
-    Forward: x[idx] with masked rows zeroed — identical to
+    Forward: x[idx], masked rows zeroed (zero_masked=True) — identical to
     ops.scatter.masked_gather. Backward: the automatic VJP of a gather is
     an UNSORTED scatter-add; here the packer supplies the source-sorted
     inverse order, so the backward is one row permute + one
     indices_are_sorted scatter-add (~1.5x on XLA's TPU scatter, and the
-    dominant cost at fusion/pooling edge counts)."""
-    return _stg_impl(x, idx, mask)
+    dominant cost at fusion/pooling edge counts).
+
+    zero_masked=False skips the [E, C] select entirely (the top
+    XLA-byte consumer of the LaneRCNN pooling path: ~538 MB per
+    direction). SAFE ONLY when the consumer re-masks — i.e. the gathered
+    rows feed a chain whose destination scatter drops masked edges
+    (masked scatter_add / window_scatter with lu = -1) — because padding
+    rows then carry clamped-row garbage forward and receive exactly-zero
+    cotangents back (the scatter VJP masks), so outputs and every
+    gradient are unchanged. The backward here never needed the mask: the
+    inv_dst drop sentinel routes padding cotangents nowhere either way."""
+    return _stg_p(x, idx, mask, inv_perm, inv_dst, bool(zero_masked))
 
 
-def _stg_impl(x, idx, mask):
+def _stg_impl(x, idx, mask, zero_masked=True):
     out = jnp.take(x, idx, axis=0, mode="clip")
+    if not zero_masked:
+        return out
     return jnp.where(mask[:, None], out, 0)
 
 
-def _stg_fwd(x, idx, mask, inv_perm, inv_dst):
+def _stg_fwd(x, idx, mask, inv_perm, inv_dst, zero_masked):
     proto = jnp.zeros((0,), x.dtype)
-    return _stg_impl(x, idx, mask), (
+    return _stg_impl(x, idx, mask, zero_masked), (
         proto, x.shape[0], idx, mask, inv_perm, inv_dst,
     )
 
 
-def _stg_bwd(res, g):
+def _stg_bwd(zero_masked, res, g):
     proto, s, idx, mask, inv_perm, inv_dst = res
-    # Padding edges were zeroed in the forward, so their cotangents must not
-    # reach x: inv_dst carries the drop sentinel (>= S) for them.
+    # Padding edges' cotangents must not reach x: inv_dst carries the drop
+    # sentinel (>= S) for them (with zero_masked=False the consumer's
+    # masked scatter guarantees those cotangents are zero anyway).
     msg = jnp.take(g, inv_perm, axis=0, mode="clip")
     dx = jnp.zeros((s, g.shape[-1]), g.dtype).at[inv_dst].add(
         msg, mode="drop", indices_are_sorted=True, unique_indices=False
@@ -108,4 +129,4 @@ def _stg_bwd(res, g):
     return (dx.astype(proto.dtype), f0(idx), f0(mask), f0(inv_perm), f0(inv_dst))
 
 
-sorted_transpose_gather.defvjp(_stg_fwd, _stg_bwd)
+_stg_p.defvjp(_stg_fwd, _stg_bwd)

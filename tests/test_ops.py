@@ -139,3 +139,54 @@ def test_sorted_transpose_gather_matches_masked_gather_grad():
     g_s = jax.grad(lambda xx: jnp.sum(sorted_transpose_gather(xx, *args) * w))(x)
     g_m = jax.grad(lambda xx: jnp.sum(masked_gather(xx, args[0], args[1]) * w))(x)
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_m), rtol=1e-6, atol=1e-6)
+
+
+def test_sorted_transpose_gather_zero_masked_equivalence():
+    """zero_masked=False (no [E, C] padding select) must give identical
+    outputs AND gradients when the gathered rows feed a masked destination
+    scatter — the LanePooling pool-edge pattern (models/lanercnn.py)."""
+    import numpy as np
+
+    from lanegcn_tpu.ops.scatter import scatter_add
+    from lanegcn_tpu.ops.table_gather import sorted_transpose_gather
+
+    rng = np.random.RandomState(0)
+    S, E, N, C = 12, 32, 10, 8
+    x = jnp.asarray(rng.randn(S, C), jnp.float32)
+    w = jnp.asarray(rng.randn(C, C), jnp.float32)
+    idx = np.zeros(E, np.int32)
+    mask = np.zeros(E, bool)
+    u = np.zeros(E, np.int32)
+    nv = 20
+    idx[:nv] = rng.randint(0, S, nv)
+    u[:nv] = np.sort(rng.randint(0, N, nv))
+    mask[:nv] = True
+    inv_perm = np.full(E, E - 1, np.int32)
+    inv_dst = np.full(E, S, np.int32)
+    o2 = np.argsort(idx[:nv], kind="stable").astype(np.int32)
+    inv_perm[:nv] = o2
+    inv_dst[:nv] = idx[:nv][o2]
+    idx_j, mask_j = jnp.asarray(idx), jnp.asarray(mask)
+    inv_perm_j, inv_dst_j = jnp.asarray(inv_perm), jnp.asarray(inv_dst)
+    u_j = jnp.asarray(u)
+
+    def run(zero_masked):
+        def f(x, w):
+            g = sorted_transpose_gather(
+                x, idx_j, mask_j, inv_perm_j, inv_dst_j, zero_masked=zero_masked
+            )
+            msg = jnp.tanh(g @ w)  # row-local chain stand-in
+            out = scatter_add(msg, u_j, N, mask=mask_j)
+            return jnp.sum(out ** 2), out
+
+        (loss, out), grads = jax.value_and_grad(
+            lambda *a: f(*a), argnums=(0, 1), has_aux=True
+        )(x, w)
+        return loss, out, grads
+
+    l1, o1, g1 = run(True)
+    l2, o2_, g2 = run(False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2_), rtol=1e-6)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
