@@ -46,6 +46,17 @@ class ModelConfig:
     # one-hot MXU matmuls per scenario. "auto" = Pallas on TPU, XLA
     # reference elsewhere; "on"/"interpret"/"off" force.
     scenario_agg: str = "auto"
+    # Merge the scenario plan INTO the fused LaneConv layer kernel
+    # (ops/pallas_lane_layer.fused_lane_layer_plan) when the node tile can
+    # equal the window stride. A/B'd on TPU v5e (round 5): the merge saves
+    # 2.5 GB/step of window round-trips but measures 1.3% SLOWER than the
+    # separate kernels (130.3 vs 128.7 ms) — the layer part drops from
+    # 1024-row to 768-row tiles (272 grid steps vs 204) and the in-kernel
+    # plan serializes with the band matmuls, costing more than the saved
+    # traffic. Default "off"; "auto" enables when geometry allows
+    # (stride >= 512, plan cap a chunk multiple) — parity pinned by
+    # tests/test_pallas_kernels.py::test_plan_merged_layer_matches_separate_kernels.
+    merge_plan_agg: str = "off"
 
     @property
     def num_relations(self) -> int:

@@ -184,31 +184,52 @@ class LaneConvStack(nn.Module):
                 mask=jnp.concatenate(msks),
                 out=temp,
             )
+            plan_groups = None
+            merge_plan = False
             if plan is not None:
-                # Scenario edge plan: the bulk of the overflow edges as
-                # one-hot MXU matmuls per scenario (the lists above carry
-                # only the spill residue). See ops/pallas_scenario_agg.
                 lu, lv, rel_ids, num_scen = plan
                 # Relation groups match build_window_plan's chunk-aligned
                 # layout: left/right chunks run 2 relation matmuls instead
                 # of 14 (~50% of plan edges on urban packs). Plans below
                 # GROUPED_MIN_CAP are built single-group (same constant on
                 # the packer side).
-                from lanegcn_tpu.ops.pallas_scenario_agg import GROUPED_MIN_CAP
+                from lanegcn_tpu.ops.pallas_scenario_agg import (
+                    _CHUNK as PLAN_CHUNK,
+                    GROUPED_MIN_CAP,
+                )
 
                 ecap = lu.shape[0] // num_scen
                 lr = tuple(r for r, nm in enumerate(names)
                            if nm in ("left", "right"))
                 dil = tuple(r for r, nm in enumerate(names)
                             if nm not in ("left", "right"))
-                grouped = ecap >= GROUPED_MIN_CAP and lr and dil
+                if ecap >= GROUPED_MIN_CAP and lr and dil:
+                    plan_groups = (lr, dil)
+                # Plan merged into the layer kernel when the node tile can
+                # equal the window stride (ops/pallas_lane_layer
+                # fused_lane_layer_plan): one less kernel family per layer,
+                # no separate feat/temp/out window round-trips.
+                stride_w = num_nodes // num_scen
+                merge_plan = (
+                    fused
+                    and self.cfg.merge_plan_agg != "off"
+                    and self._scen_agg_mode() != "xla"
+                    and num_nodes % num_scen == 0
+                    and stride_w % 128 == 0
+                    and stride_w >= 512
+                    and ecap % PLAN_CHUNK == 0
+                )
+            if plan is not None and not merge_plan:
+                # Scenario edge plan as its own kernel: the bulk of the
+                # overflow edges as one-hot MXU matmuls per scenario (the
+                # lists above carry only the spill residue).
                 temp = scenario_aggregate(
                     feat.astype(self.dtype),
                     temp,
                     w_rel.astype(self.dtype),
                     lu, lv, rel_ids, num_scen,
                     mode=self._scen_agg_mode(),
-                    groups=(lr, dil) if grouped else None,
+                    groups=plan_groups,
                 )
             if spill is not None:
                 # Cross-window / over-budget residue as (dst-window,
@@ -237,17 +258,38 @@ class LaneConvStack(nn.Module):
                 wb_band = w_rel[jnp.asarray([r for r, _ in band_rel])]
                 g1w, g1b = _GroupNormParams(name=f"norm_{i}")(n_map)
                 k2, g2w, g2b = _LinearParams(n_map, name=f"ctr2_{i}")(n_map)
-                feat = fused_lane_layer(
-                    feat.astype(self.dtype),
-                    temp.astype(self.dtype),
-                    band_masks,
-                    wb_band.astype(self.dtype),
-                    k2.astype(self.dtype),
-                    g1w, g1b, g2w, g2b,
-                    shifts,
-                    1e-5,
-                    self.cfg.pallas_bands == "interpret",
-                )
+                if merge_plan:
+                    from lanegcn_tpu.ops.pallas_lane_layer import (
+                        fused_lane_layer_plan,
+                    )
+
+                    feat = fused_lane_layer_plan(
+                        feat.astype(self.dtype),
+                        temp.astype(self.dtype),
+                        band_masks,
+                        wb_band.astype(self.dtype),
+                        k2.astype(self.dtype),
+                        g1w, g1b, g2w, g2b,
+                        w_rel.astype(self.dtype),
+                        lu, lv, rel_ids,
+                        int(num_scen),
+                        shifts,
+                        plan_groups,
+                        1e-5,
+                        self.cfg.pallas_bands == "interpret",
+                    )
+                else:
+                    feat = fused_lane_layer(
+                        feat.astype(self.dtype),
+                        temp.astype(self.dtype),
+                        band_masks,
+                        wb_band.astype(self.dtype),
+                        k2.astype(self.dtype),
+                        g1w, g1b, g2w, g2b,
+                        shifts,
+                        1e-5,
+                        self.cfg.pallas_bands == "interpret",
+                    )
             else:
                 feat = nn.relu(GroupNorm(name=f"norm_{i}")(temp))
                 feat = Linear(n_map, act=False, dtype=self.dtype, name=f"ctr2_{i}")(feat)

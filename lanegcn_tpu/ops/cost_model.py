@@ -415,8 +415,53 @@ def _cost_row_tail(r, st):
             "vpu_ops": b * t * c * 20 * (k + 1)}
 
 
+def _cost_lane_plan_layer(r, st):
+    # ops/pallas_lane_layer.py fused_lane_layer_plan: the LaneConv layer
+    # with the window plan applied in-kernel — lane_layer's costs plus the
+    # plan's MXU/VPU work, but NO separate feat/temp/out window traffic
+    # (the plan reads the layer's resident x window); only lu/lv/rel and
+    # the relation weights add bytes.
+    base = _cost_lane_layer(r, None)
+    e = _SCEN_CHUNK
+    s_, ecap, c, rr, db = r["s"], r["ecap"], r["c"], r["r"], r["db"]
+    w = r["n"] // r["s"]  # tile == window stride
+    groups = r.get("groups") or (tuple(range(rr)),)
+    if st is not None and "rel_counts" in st and len(groups) > 1:
+        rc = st["rel_counts"]
+        per_group = []
+        for grp in groups:
+            ids = [gid for gid in grp if gid < rc.shape[1]]
+            cnt = rc[:, ids].sum(axis=1)
+            per_group.append((int(np.sum(-(-cnt // e))), len(grp)))
+        valid_edges = st["valid_edges"]
+    elif st is not None:
+        per_group = [(st["chunks_total"], rr)]
+        valid_edges = st["valid_edges"]
+    else:
+        per_group = [(s_ * (ecap // e), rr)]
+        valid_edges = sum(ch for ch, _ in per_group) * e
+    macs = vpu = 0
+    for ch, ng in per_group:
+        if r["phase"] == "fwd":
+            macs += ch * (2 * e * w * c + ng * e * c * c)
+            vpu += ch * (2 * 3 * e * w + ng * e * c + ng * e)
+        else:
+            macs += ch * (3 * e * w * c + 2 * ng * e * c * c)
+            vpu += ch * (3 * 3 * e * w + 2 * ng * e * c + ng * e)
+    byts = s_ * 3 * ecap * 4 + rr * c * c * db \
+        + (rr * c * c * (db + 4) if r["phase"] == "bwd" else 0)
+    return {
+        "hbm_bytes": base["hbm_bytes"] + byts,
+        "mxu_macs": base["mxu_macs"] + macs,
+        "useful_macs": base["useful_macs"]
+        + valid_edges * c * c * (1 if r["phase"] == "fwd" else 2),
+        "vpu_ops": base["vpu_ops"] + vpu,
+    }
+
+
 _COSTS = {
     "lane_layer": _cost_lane_layer,
+    "lane_plan_layer": _cost_lane_plan_layer,
     "scenario_agg": _cost_scenario_agg,
     "pair_agg": _cost_pair_agg,
     "win_edge": _cost_win_edge,
@@ -427,6 +472,7 @@ _COSTS = {
 
 _STAT_KEY = {
     "scenario_agg": lambda r: ("scen", r["s"], r["ecap"]),
+    "lane_plan_layer": lambda r: ("scen", r["s"], r["ecap"]),
     "pair_agg": lambda r: ("pair", r["nc"], r["chunk"], r["sd"], r["ss"]),
     "win_edge": lambda r: ("pair", r["nc"], r["chunk"], r["sd"], r["ss"]),
     "window_scatter": lambda r: ("wscatter", r["nch"], r["stride"]),

@@ -378,3 +378,510 @@ def _vjp_bwd(shifts, eps, interpret, res, g_out):
 
 
 fused_lane_layer.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Plan-merged variant (round 5): the scenario-window edge plan
+# (ops/pallas_scenario_agg's per-window one-hot aggregation) runs INSIDE
+# this layer kernel when the node tile equals the window stride. Per layer
+# this removes the separate plan kernel's feat/temp/out window round-trips
+# (the x window is already in VMEM here), one 272-step kernel dispatch per
+# layer-pass, and shares the backward's window fetches. Grouped chunks and
+# prefix-dense chunk skipping follow pallas_scenario_agg exactly
+# (build_window_plan's chunk-aligned group layout is the correctness
+# invariant; groups only run their own relation matmuls).
+
+_PCHUNK = 512  # must match ops/pallas_scenario_agg._CHUNK
+
+
+def _onehot(idx_col, width, dtype):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (idx_col.shape[0], width), 1)
+    return (idx_col == iota).astype(dtype)
+
+
+def _plan_fwd_into(tacc_ref, x_int, lu_ref, lv_ref, rel_ref, wr_ref,
+                   nch_ref, groups, b, dt):
+    """tacc_ref[:] += window-plan aggregation of x_int (the tile's rows)."""
+    stride = x_int.shape[0]
+    ecap = lu_ref.shape[0]
+    for ck, c0 in enumerate(range(0, ecap, _PCHUNK)):
+        c1 = c0 + _PCHUNK
+        for gi, grp in enumerate(groups):
+            hi = nch_ref[b, gi]
+            cond = (ck < hi) if gi == 0 else jnp.logical_and(
+                ck >= nch_ref[b, gi - 1], ck < hi
+            )
+
+            @pl.when(cond)
+            def _(c0=c0, c1=c1, grp=grp):
+                lv = lv_ref[c0:c1]
+                lu = lu_ref[c0:c1]
+                rel = rel_ref[c0:c1]
+                gath = jnp.dot(
+                    _onehot(lv, stride, dt), x_int,
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+                msg = jnp.zeros((gath.shape[0], gath.shape[1]), jnp.float32)
+                for r in grp:
+                    m = (rel == r).astype(dt)
+                    msg += jnp.dot(
+                        gath * m, wr_ref[r], preferred_element_type=jnp.float32
+                    )
+                s_u = (
+                    jnp.transpose(lu)
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (stride, lu.shape[0]), 0)
+                ).astype(dt)
+                tacc_ref[:, :] += jnp.dot(
+                    s_u, msg.astype(dt), preferred_element_type=jnp.float32
+                )
+
+
+def _plan_bwd_into(dx_ref, dwr_ref, x_int, d_temp_int, lu_ref, lv_ref,
+                   rel_ref, wrt_ref, nch_ref, groups, b, dt):
+    """dx_ref[:] += planᵀ(d_temp); dwr_ref[r] += per-relation dW."""
+    stride = x_int.shape[0]
+    ecap = lu_ref.shape[0]
+    for ck, c0 in enumerate(range(0, ecap, _PCHUNK)):
+        c1 = c0 + _PCHUNK
+        for gi, grp in enumerate(groups):
+            hi = nch_ref[b, gi]
+            cond = (ck < hi) if gi == 0 else jnp.logical_and(
+                ck >= nch_ref[b, gi - 1], ck < hi
+            )
+
+            @pl.when(cond)
+            def _(c0=c0, c1=c1, grp=grp):
+                lv = lv_ref[c0:c1]
+                lu = lu_ref[c0:c1]
+                rel = rel_ref[c0:c1]
+                d_msg = jnp.dot(
+                    _onehot(lu, stride, dt), d_temp_int.astype(dt),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+                gath = jnp.dot(
+                    _onehot(lv, stride, dt), x_int,
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+                d_gath = jnp.zeros(gath.shape, jnp.float32)
+                for r in grp:
+                    m = (rel == r).astype(dt)
+                    dwr_ref[r] += jax.lax.dot_general(
+                        gath * m, d_msg,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    d_gath += jnp.dot(
+                        d_msg * m, wrt_ref[r], preferred_element_type=jnp.float32
+                    )
+                s_v = (
+                    jnp.transpose(lv)
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (stride, lv.shape[0]), 0)
+                ).astype(dt)
+                dx_ref[:, :] += jnp.dot(
+                    s_v, d_gath.astype(dt), preferred_element_type=jnp.float32
+                ).astype(dx_ref.dtype)
+
+
+def _fwd_kernel_plan(shifts, tile, eps, save_temp, groups,
+                     nch_ref, x_hbm, m_hbm, pre_ref, wb_ref, w2_ref,
+                     g1w_ref, g1b_ref, g2w_ref, g2b_ref,
+                     wr_ref, lu_ref, lv_ref, rel_ref, o_ref, *rest):
+    if save_temp:
+        t_ref, xw, mw, tacc, sems = rest
+    else:
+        t_ref = None
+        xw, mw, tacc, sems = rest
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    t = tile
+    slot = jax.lax.rem(b, 2)
+    nslot = jax.lax.rem(b + 1, 2)
+
+    def dma(sl, idx):
+        win = pl.ds(idx * t, t + 2 * HALO)
+        return (pltpu.make_async_copy(x_hbm.at[win], xw.at[sl], sems.at[sl, 0]),
+                pltpu.make_async_copy(m_hbm.at[win], mw.at[sl], sems.at[sl, 1]))
+
+    @pl.when(b == 0)
+    def _():
+        for cp in dma(slot, b):
+            cp.start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        for cp in dma(nslot, b + 1):
+            cp.start()
+
+    for cp in dma(slot, b):
+        cp.wait()
+    x = xw[slot]
+    mw = mw.at[slot]
+    dt = x.dtype
+
+    temp = pre_ref[:, :].astype(jnp.float32)
+    for j, sft in enumerate(shifts):
+        rows = x[HALO + sft : HALO + sft + t, :]
+        m = mw[HALO : HALO + t, j : j + 1]
+        temp += jax.lax.dot_general(
+            rows * m, wb_ref[j, :, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    # Window-plan aggregation into a VMEM accumulator (pl.when bodies need
+    # ref semantics), then back to registers for the tail.
+    tacc[:, :] = temp
+    x_int = x[HALO : HALO + t, :]
+    _plan_fwd_into(tacc, x_int, lu_ref, lv_ref, rel_ref, wr_ref,
+                   nch_ref, groups, b, dt)
+    temp = tacc[:, :]
+
+    g1w = g1w_ref[0:1, :].astype(jnp.float32)
+    g1b = g1b_ref[0:1, :].astype(jnp.float32)
+    g2w = g2w_ref[0:1, :].astype(jnp.float32)
+    g2b = g2b_ref[0:1, :].astype(jnp.float32)
+    if save_temp:
+        t_ref[:, :] = temp
+    _, _, h_pre = _gn_fwd(temp, g1w, g1b, eps)
+    h = jnp.maximum(h_pre, 0.0)
+    z = jax.lax.dot_general(
+        h.astype(dt), w2_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    _, _, y = _gn_fwd(z, g2w, g2b, eps)
+    res = x[HALO : HALO + t, :].astype(jnp.float32)
+    o_ref[:, :] = jnp.maximum(y + res, 0.0).astype(o_ref.dtype)
+
+
+def _bwd_kernel_plan(shifts, tile, eps, groups,
+                     nch_ref, x_hbm, g_hbm, temp_hbm, m_hbm, wb_ref,
+                     w2_ref, g1w_ref, g1b_ref, g2w_ref, g2b_ref,
+                     wr_ref, wrt_ref, lu_ref, lv_ref, rel_ref,
+                     dx_ref, dpre_ref, dwb_ref, dw2_ref, dgn_ref, dwr_ref,
+                     xw, gw, tw, mw, sems):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    t = tile
+    w2n = t + 2 * HALO
+    slot = jax.lax.rem(b, 2)
+    nslot = jax.lax.rem(b + 1, 2)
+
+    def dma(sl, idx):
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(idx * t, t + 4 * HALO)], xw.at[sl], sems.at[sl, 0]),
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(idx * t, w2n)], gw.at[sl], sems.at[sl, 1]),
+            pltpu.make_async_copy(
+                temp_hbm.at[pl.ds(idx * t, w2n)], tw.at[sl], sems.at[sl, 2]),
+            pltpu.make_async_copy(
+                m_hbm.at[pl.ds(idx * t, w2n)], mw.at[sl], sems.at[sl, 3]),
+        )
+
+    @pl.when(b == 0)
+    def _():
+        for cp in dma(slot, b):
+            cp.start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        for cp in dma(nslot, b + 1):
+            cp.start()
+
+    for cp in dma(slot, b):
+        cp.wait()
+    x = xw[slot]
+    gw = gw.at[slot]
+    tw = tw.at[slot]
+    mw = mw.at[slot]
+    dt = x.dtype
+
+    @pl.when(b == 0)
+    def _():
+        dwb_ref[:, :, :] = jnp.zeros_like(dwb_ref)
+        dw2_ref[:, :] = jnp.zeros_like(dw2_ref)
+        dgn_ref[:, :] = jnp.zeros_like(dgn_ref)
+        dwr_ref[:, :, :] = jnp.zeros_like(dwr_ref)
+
+    temp = tw[:, :]
+    g1w = g1w_ref[0:1, :].astype(jnp.float32)
+    g1b = g1b_ref[0:1, :].astype(jnp.float32)
+    g2w = g2w_ref[0:1, :].astype(jnp.float32)
+    g2b = g2b_ref[0:1, :].astype(jnp.float32)
+    nrm1, inv1, h_pre = _gn_fwd(temp, g1w, g1b, eps)
+    relu1 = (h_pre > 0.0).astype(jnp.float32)
+    h = jnp.maximum(h_pre, 0.0)
+    z = jax.lax.dot_general(
+        h.astype(dt), w2_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    nrm2, inv2, y = _gn_fwd(z, g2w, g2b, eps)
+    res = x[HALO : HALO + w2n, :].astype(jnp.float32)
+    out_mask = ((y + res) > 0.0).astype(jnp.float32)
+
+    g = gw[:, :].astype(jnp.float32)
+    d_y = g * out_mask
+    d_z = _gn_bwd(d_y, nrm2, inv2, g2w)
+    d_h = jax.lax.dot_general(
+        d_z.astype(dt), w2_ref[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * relu1
+    d_temp = _gn_bwd(d_h, nrm1, inv1, g1w)
+
+    mid = slice(HALO, HALO + t)
+    dw2_ref[:, :] += jax.lax.dot_general(
+        h[mid].astype(dt), d_z[mid].astype(dt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dgn_ref[0:1, :] += jnp.sum(d_h[mid] * nrm1[mid], axis=0, keepdims=True)
+    dgn_ref[1:2, :] += jnp.sum(d_h[mid], axis=0, keepdims=True)
+    dgn_ref[2:3, :] += jnp.sum(d_y[mid] * nrm2[mid], axis=0, keepdims=True)
+    dgn_ref[3:4, :] += jnp.sum(d_y[mid], axis=0, keepdims=True)
+
+    dx = d_y[mid]  # residual passthrough
+    for j, sft in enumerate(shifts):
+        dt_shift = d_temp[HALO - sft : HALO - sft + t, :]
+        m_shift = mw[HALO - sft : HALO - sft + t, j : j + 1].astype(jnp.float32)
+        dx += jax.lax.dot_general(
+            dt_shift * m_shift, wb_ref[j, :, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rows = x[2 * HALO + sft : 2 * HALO + sft + t, :]
+        m_mid = mw[mid, j : j + 1]
+        dwb_ref[j, :, :] += jax.lax.dot_general(
+            (rows * m_mid).astype(dt), d_temp[mid].astype(dt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dx_ref[:, :] = dx.astype(dx_ref.dtype)
+    # Plan backward: dfeat += planᵀ(d_temp interior), dW_rel accumulation
+    # (pl.when bodies accumulate into the dx output block directly). The
+    # bwd x window carries a DOUBLE halo, so the tile's own feat rows
+    # start at 2*HALO (the fwd kernel's single-halo window starts at HALO).
+    x_int = x[2 * HALO : 2 * HALO + t, :]
+    _plan_bwd_into(dx_ref, dwr_ref, x_int, d_temp[mid], lu_ref, lv_ref,
+                   rel_ref, wrt_ref, nch_ref, groups, b, dt)
+    dpre_ref[:, :] = d_temp[mid].astype(dpre_ref.dtype)
+
+
+def _group_chunk_ends(lu, rel, num_win, ecap, groups):
+    """[S, G] cumulative per-window chunk boundaries (pallas_scenario_agg
+    semantics; build_window_plan's chunk-aligned group layout)."""
+    valid = (lu >= 0).reshape(num_win, ecap)
+    relw = rel.reshape(num_win, ecap)
+    ends = []
+    total = jnp.zeros((num_win,), jnp.int32)
+    for grp in groups:
+        m = valid
+        if len(groups) > 1:
+            sel = relw == grp[0]
+            for r in grp[1:]:
+                sel = jnp.logical_or(sel, relw == r)
+            m = jnp.logical_and(valid, sel)
+        cnt = jnp.sum(m, axis=1, dtype=jnp.int32)
+        total = total + (cnt + _PCHUNK - 1) // _PCHUNK
+        ends.append(total)
+    return jnp.stack(ends, axis=1)
+
+
+def _plan_geometry(n, c, lu, w_rel, groups):
+    num_win = None  # derived from lu length and stride
+    return n, c
+
+
+def _fwd_impl_plan(feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b,
+                   w_rel, lu, lv, rel, num_win, shifts, groups, eps,
+                   interpret, save_temp=False):
+    n, c = feat.shape
+    t = n // num_win
+    assert t * num_win == n and t % 128 == 0, (n, num_win)
+    ecap = lu.shape[0] // num_win
+    assert ecap % _PCHUNK == 0, (ecap, _PCHUNK)
+    j = len(shifts)
+    r = w_rel.shape[0]
+    if groups is None:
+        groups = (tuple(range(r)),)
+    cost_model.record("lane_plan_layer", "fwd", n=n, c=c, t=t, j=j,
+                      db=feat.dtype.itemsize, save_temp=save_temp,
+                      s=num_win, ecap=ecap, r=r,
+                      groups=tuple(tuple(g) for g in groups))
+    xp = jnp.pad(feat, ((HALO, HALO), (0, 0)))
+    mp = _mask_plane(masks, HALO)
+    nch = _group_chunk_ends(lu, rel, num_win, ecap, groups)
+    row = lambda: pl.BlockSpec((t, c), lambda b, nr: (b, 0))
+    full = lambda shape: pl.BlockSpec(shape, lambda b, nr: (0,) * len(shape))
+    ecol = lambda: pl.BlockSpec((ecap, 1), lambda b, nr: (b, 0))
+    out_specs = row()
+    out_shape = jax.ShapeDtypeStruct((n, c), feat.dtype)
+    if save_temp:
+        out_specs = (out_specs, row())
+        out_shape = (out_shape, jax.ShapeDtypeStruct((n, c), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_win,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xp
+            pl.BlockSpec(memory_space=pltpu.ANY),  # mask plane
+            row(),                                  # pre
+            full((j, c, c)),
+            full((c, c)),
+            full((1, c)), full((1, c)), full((1, c)), full((1, c)),
+            full((r, c, c)),                        # w_rel
+            ecol(), ecol(), ecol(),                 # lu, lv, rel
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, t + 2 * HALO, c), feat.dtype),
+            pltpu.VMEM((2, t + 2 * HALO, _MLANES), feat.dtype),
+            pltpu.VMEM((t, c), jnp.float32),        # tacc
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_plan, shifts, t, eps, save_temp, groups),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        # The plan loop's one-hot intermediates push the scoped-vmem stack
+        # past Mosaic's 16M default; v5e has 128M physical VMEM.
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(nch, xp, mp, pre, wb, w2, _row(g1w), _row(g1b), _row(g2w), _row(g2b),
+      w_rel.astype(feat.dtype), lu, lv, rel)
+
+
+def _bwd_impl_plan(feat, temp, masks, wb, w2, g1w, g1b, g2w, g2b,
+                   w_rel, lu, lv, rel, num_win, g_out, shifts, groups,
+                   eps, interpret):
+    n, c = feat.shape
+    t = n // num_win
+    ecap = lu.shape[0] // num_win
+    j = len(shifts)
+    r = w_rel.shape[0]
+    if groups is None:
+        groups = (tuple(range(r)),)
+    cost_model.record("lane_plan_layer", "bwd", n=n, c=c, t=t, j=j,
+                      db=feat.dtype.itemsize, save_temp=False,
+                      s=num_win, ecap=ecap, r=r,
+                      groups=tuple(tuple(g) for g in groups))
+    xp = jnp.pad(feat, ((2 * HALO, 2 * HALO), (0, 0)))
+    gp = jnp.pad(g_out.astype(feat.dtype), ((HALO, HALO), (0, 0)))
+    pp = jnp.pad(temp, ((HALO, HALO), (0, 0)))
+    mp = _mask_plane(masks, HALO)
+    nch = _group_chunk_ends(lu, rel, num_win, ecap, groups)
+    row = lambda: pl.BlockSpec((t, c), lambda b, nr: (b, 0))
+    full = lambda shape: pl.BlockSpec(shape, lambda b, nr: (0,) * len(shape))
+    ecol = lambda: pl.BlockSpec((ecap, 1), lambda b, nr: (b, 0))
+    wr = w_rel.astype(feat.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_win,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xp (double halo)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # gp
+            pl.BlockSpec(memory_space=pltpu.ANY),  # temp
+            pl.BlockSpec(memory_space=pltpu.ANY),  # mask plane
+            full((j, c, c)),
+            full((c, c)),
+            full((1, c)), full((1, c)), full((1, c)), full((1, c)),
+            full((r, c, c)),                        # w_rel
+            full((r, c, c)),                        # w_rel transposed
+            ecol(), ecol(), ecol(),
+        ],
+        out_specs=(
+            row(), row(),
+            full((j, c, c)),
+            full((c, c)),
+            full((8, c)),
+            full((r, c, c)),                        # dW_rel
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, t + 4 * HALO, c), feat.dtype),
+            pltpu.VMEM((2, t + 2 * HALO, c), feat.dtype),
+            pltpu.VMEM((2, t + 2 * HALO, c), jnp.float32),
+            pltpu.VMEM((2, t + 2 * HALO, _MLANES), feat.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_plan, shifts, t, eps, groups),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, c), feat.dtype),
+            jax.ShapeDtypeStruct((n, c), feat.dtype),
+            jax.ShapeDtypeStruct((j, c, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((8, c), jnp.float32),
+            jax.ShapeDtypeStruct((r, c, c), jnp.float32),
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(nch, xp, gp, pp, mp, wb, w2,
+      _row(g1w), _row(g1b), _row(g2w), _row(g2b),
+      wr, jnp.transpose(wr, (0, 2, 1)), lu, lv, rel)
+
+
+_PLAN_STATICS = (13, 14, 15, 16, 17)  # num_win, shifts, groups, eps, interpret
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=_PLAN_STATICS)
+def fused_lane_layer_plan(feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b,
+                          w_rel, lu, lv, rel, num_win, shifts, groups,
+                          eps=1e-5, interpret=False):
+    """fused_lane_layer with the scenario-window edge plan applied inside:
+    relu(GN2((relu(GN1(pre + band_conv(feat) + plan_agg(feat)))) @ w2) + feat).
+
+    Requires the node tile to equal the window stride (n == num_win * t)
+    and build_window_plan's chunk-aligned group layout. Gradients flow to
+    feat, pre, wb, w2, the GN affines, and w_rel.
+    """
+    out = _fwd_impl_plan(feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b,
+                         w_rel, lu, lv, rel, num_win, shifts, groups, eps,
+                         interpret)
+    return out
+
+
+def _plan_vjp_fwd(feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b,
+                  w_rel, lu, lv, rel, num_win, shifts, groups, eps, interpret):
+    out, temp = _fwd_impl_plan(
+        feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b, w_rel, lu, lv, rel,
+        num_win, shifts, groups, eps, interpret, save_temp=True,
+    )
+    return out, (feat, temp, masks, wb, w2, g1w, g1b, g2w, g2b,
+                 w_rel, lu, lv, rel)
+
+
+def _plan_vjp_bwd(num_win, shifts, groups, eps, interpret, res, g_out):
+    (feat, temp, masks, wb, w2, g1w, g1b, g2w, g2b, w_rel, lu, lv, rel) = res
+    dx, dpre, dwb, dw2, dgn, dwr = _bwd_impl_plan(
+        feat, temp, masks, wb, w2, g1w, g1b, g2w, g2b, w_rel, lu, lv, rel,
+        num_win, g_out, shifts, groups, eps, interpret,
+    )
+    import numpy as np
+
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (
+        dx,
+        dpre,
+        jnp.zeros_like(masks),
+        dwb.astype(wb.dtype),
+        dw2.astype(w2.dtype),
+        dgn[0].astype(g1w.dtype),
+        dgn[1].astype(g1b.dtype),
+        dgn[2].astype(g2w.dtype),
+        dgn[3].astype(g2b.dtype),
+        dwr.astype(w_rel.dtype),
+        f0(lu), f0(lv), f0(rel),
+    )
+
+
+fused_lane_layer_plan.defvjp(_plan_vjp_fwd, _plan_vjp_bwd)

@@ -341,3 +341,55 @@ def test_lane_pooling_pallas_edge_parity():
     np.testing.assert_allclose(
         np.asarray(fp) / scale, np.asarray(fx) / scale, rtol=1e-3, atol=1e-4
     )
+
+
+def test_plan_merged_layer_matches_separate_kernels():
+    """fused_lane_layer_plan (plan applied inside the layer kernel) must
+    match the separate scenario_agg + fused_lane_layer composition through
+    the full model: same loss and parameter gradients on a real windowed
+    pack (merge gate: stride >= 512, plan cap a chunk multiple)."""
+    import dataclasses
+
+    from lanegcn_tpu.config import Config, ModelConfig, PackConfig
+    from lanegcn_tpu.data import pack_batch
+    from lanegcn_tpu.data.synthetic import make_urban_scenario
+    from lanegcn_tpu.models.lanegcn import LaneGCN, pred_loss
+    from lanegcn_tpu.ops.pallas_scenario_agg import GROUPED_MIN_CAP
+
+    cfg_pack = PackConfig(
+        max_scenarios=4, max_actors=48,
+        max_nodes=6 * 768, node_stride=768,
+        max_plan_edges=GROUPED_MIN_CAP, table_relations=(),
+        max_edges_scale0=512, max_edges_dilated=768, max_edges_lr=128,
+        max_a2m_edges=768, max_m2a_edges=768, max_a2a_edges=256,
+    )
+    scens = [
+        make_urban_scenario(seed=700 + i, num_corridors=3, num_actors=6)
+        for i in range(4)
+    ]
+    mc = dataclasses.replace(
+        ModelConfig(), pallas_bands="interpret", scenario_agg="interpret"
+    )
+    config = Config(pack=cfg_pack, model=mc)
+    b, st = pack_batch(scens, cfg_pack, mc)
+    assert st.get("plan_edges", 0) > 0, st
+    b = jax.tree.map(jnp.asarray, b)
+
+    def loss_and_grads(merge):
+        m2 = dataclasses.replace(mc, merge_plan_agg=merge)
+        net = LaneGCN(m2)
+        params = net.init(jax.random.PRNGKey(3), b)["params"]
+
+        def f(p):
+            out = net.apply({"params": p}, b)
+            return pred_loss(out, b, config.loss)["loss"]
+
+        loss, grads = jax.value_and_grad(f)(params)
+        return float(loss), np.concatenate(
+            [np.asarray(x).ravel() for x in jax.tree.leaves(grads)]
+        )
+
+    l_merge, g_merge = loss_and_grads("auto")
+    l_sep, g_sep = loss_and_grads("off")
+    np.testing.assert_allclose(l_merge, l_sep, rtol=1e-5)
+    np.testing.assert_allclose(g_merge, g_sep, rtol=5e-4, atol=5e-5)

@@ -348,3 +348,73 @@ def test_skewed_split_positional_drops_balanced_packs_clean():
     assert bal_drops == 0, bal_drops
     # The positional split must exhibit the failure the balancer prevents.
     assert pos_drops > 0 or pos_packed < len(scens), (pos_packed, pos_drops)
+
+
+@pytest.mark.slow
+def test_windowed_training_run_tracks_single_device():
+    """Multi-STEP convergence guard for the production windowed path
+    (round-5 VERDICT #7; the full 12-epoch leg is
+    docs/convergence_r05_windowed.json): two epochs from shared init on a
+    (data=1 x graph=4) mesh must track the single-device union-pack run
+    closely and end lower than it started. Sub-packs assert drop-free."""
+    import sys as _sys
+
+    from lanegcn_tpu.models.lanegcn import LaneGCN
+    from lanegcn_tpu.models.registry import get_model
+    from lanegcn_tpu.train.loop import make_train_step
+    from lanegcn_tpu.config import Config
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from convergence_windowed import pack_cfg
+    from lanegcn_tpu.parallel.windowed_parallel import balance_scenarios
+
+    g = 4
+    batch = 8
+    mesh = make_mesh_2d(jax.devices()[:g], data=1, graph=g)
+    cfg = Config(pack=pack_cfg(batch))
+    bundle = get_model("lanegcn", cfg)
+    cfg = bundle.config
+    sub = subdivide_pack_config(cfg.pack, g)
+    scens = [
+        make_synthetic_scenario(seed=2000 + i, num_corridors=2, num_actors=6)
+        for i in range(16)
+    ]
+
+    def union(group):
+        b, st = pack_batch(group, cfg.pack, cfg.model)
+        assert not any(
+            k.startswith("dropped") and np.any(v) for k, v in st.items()
+        ), st
+        return jax.tree.map(jnp.asarray, b)
+
+    def windowed(group):
+        subs = []
+        for gi in balance_scenarios(group, g, max_per_group=sub.max_scenarios):
+            sb, st = pack_batch([group[i] for i in gi], sub, cfg.model)
+            assert not any(
+                k.startswith("dropped") and np.any(v) for k, v in st.items()
+            ), st
+            subs.append(sb)
+        stacked = jax.tree.map(lambda *x: np.stack(x), *subs)
+        return jax.tree.map(lambda x: jnp.asarray(x[None]), stacked)
+
+    tx, lr_fn = make_optimizer(cfg.train)
+    s_step = make_train_step(
+        cfg, bundle.net, tx, lr_fn,
+        loss_fn=bundle.loss_fn, metrics_fn=bundle.metrics_fn,
+    )
+    w_step = make_windowed_parallel_train_step(cfg, tx, lr_fn, mesh)
+    p0 = bundle.net.init(jax.random.PRNGKey(0), union(scens[:batch]))["params"]
+    ps, os_ = p0, tx.init(p0)
+    pw, ow = p0, tx.init(p0)
+    losses_s, losses_w = [], []
+    for step_i in range(4):
+        group = scens[(step_i % 2) * batch : (step_i % 2 + 1) * batch]
+        ps, os_, ms = s_step(ps, os_, union(group), step_i / 4)
+        pw, ow, mw = w_step(pw, ow, windowed(group), step_i / 4)
+        losses_s.append(float(ms["loss"]))
+        losses_w.append(float(mw["loss"]))
+    # Same trajectory (fp reassociation only) and training progress.
+    np.testing.assert_allclose(losses_w, losses_s, rtol=2e-2)
+    assert losses_s[-1] < losses_s[0]
+    assert losses_w[-1] < losses_w[0]
