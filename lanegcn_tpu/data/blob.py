@@ -78,6 +78,94 @@ def _make_unpacker(treedef, spec: Tuple[Tuple[tuple, str], ...],
     return jax.jit(unpack)
 
 
+def pack_blobs(tree: Any):
+    """Host tree → (tuple of host blob arrays — one per dtype — and a
+    static meta tuple (treedef, spec, blob_dtypes) for unpack_blobs)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    leaves = [_canon(l) for l in leaves]
+    spec = tuple((l.shape, l.dtype.str) for l in leaves)
+    groups = {}
+    for l in leaves:
+        key = "|u1" if l.dtype == np.bool_ else l.dtype.str
+        groups.setdefault(key, []).append(
+            l.view(np.uint8).view(np.dtype(key)) if l.dtype == np.bool_ else l
+        )
+    blob_dtypes = tuple(sorted(groups))
+    blobs = tuple(
+        np.concatenate([g.ravel() for g in groups[d]])
+        if groups[d] else np.zeros(0, np.dtype(d))
+        for d in blob_dtypes
+    )
+    return blobs, (treedef, spec, blob_dtypes)
+
+
+def unpack_blobs(meta, *blobs):
+    """Pure, jit-traceable splitter: blob arrays → the original pytree.
+    meta from pack_blobs. Used INSIDE jitted steps so a freshly
+    transferred batch crosses the dispatch boundary as ~3 arrays instead
+    of ~90 (the axon relay charges per argument handle per execute call —
+    measured +436 ms/step for a ~90-leaf fresh batch,
+    tools/bench_e2e_interleave.py)."""
+    treedef, spec, blob_dtypes = meta
+    offs = {d: 0 for d in blob_dtypes}
+    by_dtype = dict(zip(blob_dtypes, blobs))
+    leaves = []
+    for shape, dstr in spec:
+        dt = np.dtype(dstr)
+        key = "|u1" if dt == np.bool_ else dt.str
+        n = int(np.prod(shape, dtype=np.int64))
+        raw = jax.lax.slice(by_dtype[key], (offs[key],), (offs[key] + n,))
+        if dt == np.bool_:
+            raw = raw.astype(jnp.bool_)
+        leaves.append(raw.reshape(shape))
+        offs[key] += n
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def blob_step(step, meta):
+    """Wrap a jitted step fn(params, opt_state, batch, epoch) into
+    fn(params, opt_state, blobs_tuple, epoch): the batch is rebuilt from
+    the dtype blobs inside the jit, so each step call passes only the
+    blob handles to the runtime."""
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def wrapped(params, opt_state, blobs, epoch):
+        batch = unpack_blobs(meta, *blobs)
+        return step(params, opt_state, batch, epoch)
+
+    return wrapped
+
+
+def blob_multi_step(step, meta):
+    """K steps per dispatch over [K]-stacked blobs: lax.scan unpacks each
+    step's batch from its blob slices inside the jit. ONE fresh-buffer
+    set crosses the dispatch boundary per K steps — on relay-attached
+    devices the per-interleaved-transfer penalty (measured ~200-400 ms,
+    tools/bench_e2e_interleave.py) amortizes by K. Metric semantics match
+    train.loop.make_multi_train_step (sums; loss = mean, lr = last)."""
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def wrapped(params, opt_state, blobs, epoch0, d_epoch):
+        def body(carry, xs):
+            p, o, i = carry
+            batch = unpack_blobs(meta, *xs)
+            p, o, m = step(p, o, batch, epoch0 + i * d_epoch)
+            return (p, o, i + 1.0), m
+
+        (p, o, _), ms = jax.lax.scan(body, (params, opt_state, 0.0), blobs)
+        out = jax.tree.map(lambda x: jnp.sum(x, axis=0), ms)
+        out["loss"] = jnp.mean(ms["loss"])
+        if "lr" in ms:
+            out["lr"] = ms["lr"][-1]
+        return p, o, out
+
+    return wrapped
+
+
+def device_put_blobs(tree: Any):
+    """Host tree → (tuple of DEVICE blob arrays (async put), meta)."""
+    blobs, meta = pack_blobs(tree)
+    return tuple(jnp.asarray(b) for b in blobs), meta
+
+
 def device_put_blob(tree: Any, sharding=None):
     """Transfer a pytree of host numpy arrays as one buffer per dtype and
     split on device. Returns the same pytree with device-array leaves
