@@ -113,15 +113,15 @@ class LanePooling(nn.Module):
         # ctx_hidden = Linear over concat([ctx_gathered, dist]); the context
         # segment is per-source-row, so its kernel slice applies densely at
         # context-row count before the edge gather (lanercnn.py:497-505).
-        # zero_masked=False: the pool-edge gather's [E, C] padding select
-        # was the top XLA-byte consumer of the step (~538 MB/direction);
-        # the edge chain's output is dropped for padding edges by the
-        # masked destination scatter (window_scatter lu=-1 / scatter_add
-        # mask) and their cotangents come back exactly zero, so skipping
-        # the select changes nothing (sorted_transpose_gather docstring).
+        # NOTE (round-5 A/B, negative): zero_masked=False here is CORRECT
+        # (the masked destination scatter drops padding rows; outputs and
+        # grads proven identical) and removes the step's top XLA-byte
+        # consumer (~538 MB/direction of padding select), but measured
+        # SLOWER on v5e — 193.0 -> 200.9 ms reproducibly — the select was
+        # evidently the materialization point that let XLA fuse the
+        # pool-edge gather with its consumers. Kept masked.
         gather_c = lambda rows: _edge_gather(
-            rows, edges.v, edges.mask, edges.inv_perm, edges.inv_dst,
-            zero_masked=False,
+            rows, edges.v, edges.mask, edges.inv_perm, edges.inv_dst
         )
         if use_pallas_edge(self.pallas_edge):
             # Fused per-edge chain (ops/pallas_edge_mlp): relpose Dense +

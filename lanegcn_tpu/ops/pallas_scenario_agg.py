@@ -279,6 +279,11 @@ def _pallas_fwd(num_scen, groups, interpret, feat, temp, w_rel, lu, lv, rel):
         out_shape=jax.ShapeDtypeStruct((n, c), temp.dtype),
         grid_spec=grid_spec,
         input_output_aliases={2: 0},
+        # >4 unrolled chunks push the one-hot intermediates past Mosaic's
+        # 16M scoped-vmem default (v5e has 128M physical VMEM).
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=interpret,
     )(_group_chunk_ends(lu, rel, num_scen, ecap, groups),
       feat, temp, lu, lv, rel, w_rel)
@@ -318,6 +323,9 @@ def _pallas_bwd(num_scen, groups, interpret, feat, g, w_rel, lu, lv, rel):
             jax.ShapeDtypeStruct((r, c, c), jnp.float32),
         ),
         grid_spec=grid_spec,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         _group_chunk_ends(lu, rel, num_scen, ecap, groups),
