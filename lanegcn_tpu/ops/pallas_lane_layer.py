@@ -29,6 +29,7 @@ tests/test_pallas_kernels.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -232,8 +233,11 @@ def _bwd_kernel(shifts, tile, eps, x_hbm, g_hbm, temp_hbm, m_hbm, wb_ref,
 
 
 def _pick_tile(n: int) -> int:
-    for t in (1024, 512, 256, 128):
-        if n % t == 0:
+    # LANE_LAYER_TILE: A/B knob for the node-tile size (per-tile issue
+    # overhead vs VMEM residency; default 1024).
+    pref = int(os.environ.get("LANE_LAYER_TILE", "1024"))
+    for t in (pref, 1024, 512, 256, 128):
+        if t > 0 and n % t == 0:
             return t
     return 0
 
@@ -287,6 +291,11 @@ def _fwd_impl(feat, pre, masks, wb, w2, g1w, g1b, g2w, g2b, shifts, eps,
             pltpu.VMEM((2, t + 2 * HALO, _MLANES), feat.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
+        # Raised vmem limit ONLY for oversized tiles (the A/B knob): at the
+        # default 1024 tile the raised limit itself measured ~2 ms SLOWER
+        # (it changes Mosaic's buffering decisions).
+        compiler_params=None if (interpret or t <= 1024) else
+        pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xp, mp, pre, wb, w2, _row(g1w), _row(g1b), _row(g2w), _row(g2b))
 
@@ -337,6 +346,8 @@ def _bwd_impl(feat, temp, masks, wb, w2, g1w, g1b, g2w, g2b, g_out, shifts, eps,
             pltpu.VMEM((2, t + 2 * HALO, _MLANES), feat.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
+        compiler_params=None if (interpret or t <= 1024) else
+        pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xp, gp, pp, mp, wb, w2, _row(g1w), _row(g1b), _row(g2w), _row(g2b))
     return dx, dpre, dwb, dw2, dgn
